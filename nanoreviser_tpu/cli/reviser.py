@@ -1,0 +1,169 @@
+"""Inference CLI — flag-compatible with the reference ``NanoReviser.py``.
+
+Reference contract (NanoReviser.py:42-95): -d/--fast5_base_dir,
+-o/--output_dir, -F/--output_format, -S/--species, --thread, -t/--tmp_dir,
+-e/--failed_read, -g/--basecall_group, -s/--basecall_subgroup, --test_mode,
+--model1_predict_dir, --model2_predict_dir, -v/--virsion.
+
+Differences (improvements, documented):
+* --revise_mode {auto,model,passthrough}: 'model' runs the resurrected
+  TPU model path (reference SURVEY.md §3.2); 'passthrough' reproduces the
+  shipped reference's observable fallback output byte-exactly (the bundled
+  Guppy binary is absent in the reference checkout, NanoReviser.py:146-154);
+  'auto' uses 'model' when weights exist, else 'passthrough'.
+* ALL reads are processed (the reference silently drops the n mod pool_size
+  remainder, NanoReviser.py:212-219).
+* failed reads are actually logged to the -e file (declared but never
+  written by the reference, NanoReviser.py:63-65).
+* parallelism: host threads overlap fast5 ingestion with device inference
+  instead of one OS process per read.
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures as cf
+import os
+import sys
+import time
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(
+        prog="nanoreviser",
+        description="An Error-correction Tool for Nanopore Sequencing, TPU-native",
+    )
+    p.add_argument("-d", "--fast5_base_dir", required=False)
+    p.add_argument("-o", "--output_dir", default="./unitest/nanorev_output/")
+    p.add_argument("-F", "--output_format", default="fasta", choices=["fasta", "fastq"])
+    p.add_argument("-S", "--species", default="human")
+    p.add_argument("--thread", type=int, default=8, help="host ingestion threads")
+    p.add_argument("-t", "--tmp_dir", dest="temp_dir", default="./unitest/tmp/")
+    p.add_argument(
+        "-e", "--failed_read", dest="failed_reads_filename", default="failed_reads.txt"
+    )
+    p.add_argument("-g", "--basecall_group", default="Basecall_1D_000")
+    p.add_argument("-s", "--basecall_subgroup", default="BaseCalled_template")
+    p.add_argument("--test_mode", action="store_true", default=False)
+    p.add_argument("--model1_predict_dir", default="./model/human/human_win13_50ep_model1.h5")
+    p.add_argument("--model2_predict_dir", default="./model/human/human_win13_50ep_model2.h5")
+    p.add_argument("--model_dir_root", default="./model/")
+    p.add_argument(
+        "--revise_mode", default="auto", choices=["auto", "model", "passthrough"]
+    )
+    p.add_argument("--align", default="reference", choices=["reference", "center"])
+    p.add_argument("-v", "--virsion", action="store_true", help="version")
+    args = p.parse_args(argv)
+    if args.virsion:
+        print("The virsion of NanoReviser : 1.0 (nanoreviser-tpu)")
+        sys.exit(0)
+    if not args.fast5_base_dir:
+        p.print_help()
+        sys.exit(1)
+    return args
+
+
+def _resolve_models(args) -> tuple[str, str]:
+    if args.test_mode:
+        species = "ecoli"
+    else:
+        species = args.species
+    if species:
+        root = args.model_dir_root
+        m1 = os.path.join(root, species, f"{species}_win13_50ep_model1.h5")
+        m2 = os.path.join(root, species, f"{species}_win13_50ep_model2.h5")
+        if os.path.exists(m1) and os.path.exists(m2):
+            return m1, m2
+    return args.model1_predict_dir, args.model2_predict_dir
+
+
+def main(argv=None) -> int:
+    args = get_args(argv)
+    from ..io import (
+        extract_fastq,
+        get_read_data,
+        list_fast5_files,
+        write_read_fasta,
+        write_read_fastq,
+    )
+    from ..utils import check_path, logger_config
+
+    logger = None
+    if args.test_mode:
+        logger = logger_config("./unitest/unitest_log.txt", "unitest")
+
+    m1, m2 = _resolve_models(args)
+    mode = args.revise_mode
+    if mode == "auto":
+        mode = "model" if (os.path.exists(m1) and os.path.exists(m2)) else "passthrough"
+    if mode == "model" and not (os.path.exists(m1) and os.path.exists(m2)):
+        raise RuntimeError(
+            "！！！[Error] model file: Please check the dir of models file!!"
+        )
+
+    check_path(args.output_dir)
+    engine = None
+    if mode == "model":
+        from ..infer import ReviserEngine
+
+        engine = ReviserEngine(m1, m2, align=args.align)
+
+    fast5_fns = list_fast5_files(args.fast5_base_dir)
+    start_time = time.time()
+    failed: list[tuple[str, str]] = []
+
+    def load(fn: str):
+        path = os.path.join(args.fast5_base_dir, fn)
+        return fn, get_read_data(path, args.basecall_group, args.basecall_subgroup)
+
+    results = []
+    with cf.ThreadPoolExecutor(max_workers=max(1, args.thread)) as pool:
+        loaded = pool.map(load, fast5_fns)
+        for fn, read in loaded:
+            try:
+                stem = fn.split(".")[0]
+                if mode == "model":
+                    seq = engine.revise_read(read)
+                else:
+                    seq = read.bases
+                if args.output_format == "fasta":
+                    out_fn = os.path.join(args.output_dir, stem + "_out.fasta")
+                    write_read_fasta(fn, out_fn, seq)
+                else:
+                    out_fn = os.path.join(args.output_dir, stem + "_out.fastq")
+                    if mode == "model":
+                        qual = "+" * len(seq)
+                    else:
+                        seq, qual = extract_fastq(
+                            os.path.join(args.fast5_base_dir, fn),
+                            args.basecall_group,
+                            args.basecall_subgroup,
+                        )
+                    write_read_fastq(fn, out_fn, seq, qual)
+                results.append(out_fn)
+                if args.test_mode and logger:
+                    logger.info("Congratulations, NanoReviser is installed properly")
+                elif not args.test_mode:
+                    print(f"[p:::] {stem}_out.{args.output_format} was saved......")
+            except Exception as exc:  # noqa: BLE001
+                failed.append((fn, str(exc)))
+                if args.test_mode and logger:
+                    logger.error("[!!! Error] Basecalling")
+                else:
+                    print(f"！！！[Error] fast5 file: {fn}: {exc}")
+
+    if failed and args.failed_reads_filename:
+        with open(args.failed_reads_filename, "w") as fp:
+            for fn, err in failed:
+                fp.write(f"{fn}\t{err}\n")
+
+    if not args.test_mode:
+        print(
+            "[s:::] NanoReviser time consuming:%.2f seconds"
+            % (time.time() - start_time)
+        )
+    return 0 if not failed else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""Revision merge: combine model1/model2 predictions with the original bases.
+
+Branch semantics (parity with reference output_handeler.py:104-142,
+``get_base_1``/``get_base_2`` — both share the same merge rules; get_base_1
+additionally converts integer labels to chars):
+
+per position i with y = model1 base-char, y2 = model2 base-char, b = original:
+  * y == y2 and y in ACGT            -> emit y        (substitution fix)
+  * y == 'D' and y2 in ACGT          -> emit b, y2    (recover deleted base)
+  * y == '-' and y2 == '-'           -> emit nothing  (drop inserted base)
+  * otherwise                        -> emit b
+A copy of the first model1 char is prepended (reference :107) and every '-'
+is filtered from the final string (reference :121).
+
+Label mapping: model1 classes are labels {0:'D',1:'-',2:'C',3:'T',4:'G',5:'A'};
+model2 classes c∈[0,5) correspond to labels c+1 (training target is
+``refvals2 - 1``, reference nanorevtrainutils.py:213).
+
+Implementation is vectorized numpy (emission counts + repeat), not a per-base
+Python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..signal.features import LABEL_TO_BASE
+
+_ACGT = np.zeros(256, dtype=bool)
+for _c in b"ACGT":
+    _ACGT[_c] = True
+
+_DASH = ord("-")
+_D = ord("D")
+
+
+def labels_to_bases(labels: np.ndarray, model2: bool = False) -> np.ndarray:
+    """Class indices -> base-char codes (uint8). model2 classes are label-1."""
+    labels = np.asarray(labels)
+    if model2:
+        labels = labels + 1
+    chars = LABEL_TO_BASE[np.clip(labels, 0, 5)]
+    return np.frombuffer("".join(chars.tolist()).encode(), dtype=np.uint8).copy()
+
+
+def merge_core(bases: np.ndarray, y1: np.ndarray, y2: np.ndarray) -> np.ndarray:
+    """Vectorized merge over aligned uint8 char arrays (truncates to min len).
+
+    Returns the merged uint8 char array BEFORE '-' filtering.
+    """
+    n = min(len(bases), len(y1), len(y2))
+    b, y, z = bases[:n], y1[:n], y2[:n]
+
+    sub_fix = (y == z) & _ACGT[y]
+    del_fix = (y == _D) & _ACGT[z]
+    ins_drop = (y == _DASH) & (z == _DASH) & ~sub_fix & ~del_fix
+
+    counts = np.where(del_fix, 2, np.where(ins_drop, 0, 1))
+    first = np.where(sub_fix, y, b)      # del_fix first char is b; else-branch b
+    total = int(counts.sum())
+    out = np.empty(total, dtype=np.uint8)
+    offs = np.cumsum(counts) - counts
+    emit1 = counts >= 1
+    out[offs[emit1]] = first[emit1]
+    out[offs[del_fix] + 1] = z[del_fix]
+    return out
+
+
+def merge_revision(
+    bases: str,
+    y1_labels: np.ndarray,
+    y2_labels: np.ndarray,
+    align: str = "reference",
+    window: int = 13,
+) -> str:
+    """Merge predictions into the revised read sequence.
+
+    align="reference": reproduces the dormant reference wiring — predictions
+    zip against the read from position 0 (get_base_1 semantics) with the
+    first model1 char prepended; the tail beyond the prediction count is
+    dropped by zip truncation.
+
+    align="center": predictions are placed at their window-center base
+    (window i predicts base i + (window-1)//2); uncovered head/tail bases
+    pass through unchanged. This is the corrected alignment for production.
+    """
+    base_codes = np.frombuffer(bases.encode("ascii"), dtype=np.uint8)
+    y1 = labels_to_bases(y1_labels, model2=False)
+    y2 = labels_to_bases(y2_labels, model2=True)
+
+    if align == "reference":
+        merged = merge_core(base_codes, y1, y2)
+        merged = np.concatenate([y1[:1], merged])
+    elif align == "center":
+        set_bef = (window - 1) // 2
+        covered = merge_core(base_codes[set_bef : set_bef + len(y1)], y1, y2)
+        merged = np.concatenate(
+            [
+                base_codes[:set_bef],
+                covered,
+                base_codes[set_bef + min(len(y1), len(y2)) :],
+            ]
+        )
+    else:
+        raise ValueError(f"unknown align mode {align!r}")
+
+    merged = merged[merged != _DASH]
+    return merged.tobytes().decode("ascii")
