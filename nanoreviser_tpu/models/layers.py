@@ -37,13 +37,19 @@ def lstm(params: dict, x: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
     if reverse:
         x = jnp.flip(x, axis=1)
     # hoist the input projection out of the scan: one big MXU matmul
+    # (f32 accumulation, activations stay in the compute dtype)
     x_proj = (
-        jnp.einsum("btd,dh->bth", x, wi, preferred_element_type=jnp.float32) + b
+        jnp.einsum("btd,dh->bth", x, wi, preferred_element_type=jnp.float32).astype(
+            x.dtype
+        )
+        + b
     )
 
     def step(carry, xp):
         h_prev, c_prev = carry
-        z = xp + jnp.dot(h_prev, wh, preferred_element_type=jnp.float32)
+        z = xp + jnp.dot(h_prev, wh, preferred_element_type=jnp.float32).astype(
+            xp.dtype
+        )
         i = hard_sigmoid(z[:, :hidden])
         f = hard_sigmoid(z[:, hidden : 2 * hidden])
         g = jnp.tanh(z[:, 2 * hidden : 3 * hidden])
@@ -93,12 +99,12 @@ def conv1d_relu(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """
     out = jax.lax.conv_general_dilated(
         x,
-        params["w"],
+        params["w"].astype(x.dtype),
         window_strides=(1,),
         padding="SAME",
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(x.dtype)
     return jax.nn.relu(out + params["b"])
 
 
@@ -106,7 +112,7 @@ def dense(params: dict, x: jnp.ndarray, activation=None) -> jnp.ndarray:
     out = (
         jnp.einsum(
             "...d,dh->...h", x, params["w"], preferred_element_type=jnp.float32
-        )
+        ).astype(x.dtype)
         + params["b"]
     )
     if activation is not None:

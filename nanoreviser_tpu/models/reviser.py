@@ -119,7 +119,9 @@ def reviser_apply(
     main = dense(params["main_out"], h, jax.nn.relu)          # [B,T,6]
     flat = main.reshape(main.shape[0], -1)                    # [B,T*6]
     feature = dense(params["feature"], flat, jax.nn.relu)     # [B,16]
-    probs = jax.nn.softmax(dense(params["final_out"], feature), axis=-1)
+    # softmax in f32 regardless of compute dtype
+    logits = dense(params["final_out"], feature).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
     if train:
         return probs, feature, stats
     return probs, feature
