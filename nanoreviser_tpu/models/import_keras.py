@@ -145,15 +145,6 @@ def load_keras_weights(h5_path: str | os.PathLike) -> tuple[dict, int, int]:
     missing = required - set(params)
     if missing:
         raise ValueError(f"Missing layers in {h5_path}: {sorted(missing)}")
-    params = {
-        k: jnp.asarray(v) if isinstance(v, np.ndarray) else
-        {k2: _to_jnp(v2) for k2, v2 in v.items()}
-        for k, v in params.items()
-    }
+    # keep everything as numpy: consumers device_put once; converting to jnp
+    # here would cost one device dispatch (and later d2h syncs) per array
     return params, int(window), int(n_classes)
-
-
-def _to_jnp(v):
-    if isinstance(v, dict):
-        return {k: _to_jnp(x) for k, x in v.items()}
-    return jnp.asarray(v)

@@ -96,14 +96,21 @@ def conv1d_relu(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """Conv1D(k, 'same', relu) over [N, L, Cin] -> [N, L, Cout].
 
     params: {"w": [k, Cin, Cout], "b": [Cout]}.
+
+    Implemented as an im2col einsum rather than lax.conv: XLA's TPU lowering
+    of 1-input-channel NWC convolutions measured ~30 ms on this model's
+    shapes vs ~0.5 ms for the identical matmul formulation.
     """
-    out = jax.lax.conv_general_dilated(
-        x,
-        params["w"].astype(x.dtype),
-        window_strides=(1,),
-        padding="SAME",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
+    w = params["w"].astype(x.dtype)
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    length = x.shape[1]
+    cols = jnp.stack(
+        [xp[:, i : i + length, :] for i in range(k)], axis=2
+    )  # [N, L, k, Cin]
+    out = jnp.einsum(
+        "blki,kio->blo", cols, w, preferred_element_type=jnp.float32
     ).astype(x.dtype)
     return jax.nn.relu(out + params["b"])
 
