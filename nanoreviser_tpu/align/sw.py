@@ -414,17 +414,35 @@ def align_banded(
     band: int = 512,
     t_lead: int = 0,
     t_tail: int = 0,
+    backend: str = "auto",
     **score_overrides,
 ) -> tuple[np.ndarray, int, float]:
     """Glocal banded alignment. Returns (ops, j_start, score).
 
     t_lead/t_tail: expected unaligned target overhangs (the seed margins) —
     they center the band on the true alignment line.
+
+    backend: "auto" prefers the native C++ DP (nanoreviser_tpu.native) —
+    identical semantics, no device round-trip — falling back to the JAX
+    path; "jax"/"native" force one.
     """
     scores = dict(DEFAULT_SCORES, **score_overrides)
     q = encode_seq(read_seq)
     t = encode_seq(target_seq)
     m, n = len(q), len(t)
+
+    if backend in ("auto", "native"):
+        from .. import native
+
+        if native.available():
+            return native.banded_sw_native(
+                q, t, band=band, t_lead=t_lead, t_tail=t_tail,
+                match=scores["match"], mismatch=scores["mismatch"],
+                gap_open=scores["gap_open"], gap_extend=scores["gap_extend"],
+            )
+        if backend == "native":
+            raise RuntimeError("native backend requested but unavailable")
+
     m_pad = -(-m // 256) * 256
     n_pad = -(-n // 256) * 256
     q_p = np.full(m_pad, 4, np.int8)

@@ -62,11 +62,41 @@ def get_args(argv=None):
     return args
 
 
+def _test_mode_pseudo_genome(args) -> str:
+    """Test-mode fallback when the training genome is absent.
+
+    The reference checkout ships without ``unitest/training_data/
+    reference.fasta`` (a missing large blob, SURVEY.md §4), so its own unitest
+    training step cannot label reads either. To keep ``--test_mode`` a true
+    end-to-end exercise (decode -> align -> label -> window -> train), we
+    synthesize a genome from the first read's decoded bases; self-alignment
+    then produces all-match labels through the full pipeline.
+    """
+    from ..io import get_read_data, list_fast5_files
+    from ..utils import check_path
+
+    fns = list_fast5_files(args.fast5_base_dir)
+    if not fns:
+        raise RuntimeError(f"no fast5 files in {args.fast5_base_dir}")
+    rd = get_read_data(
+        os.path.join(args.fast5_base_dir, fns[0]),
+        args.basecall_group,
+        args.basecall_subgroup,
+    )
+    check_path(args.temp_dir)
+    genome_fn = os.path.join(args.temp_dir, "pseudo_reference.fasta")
+    with open(genome_fn, "w") as fp:
+        fp.write(">pseudo_ref\n" + rd.bases + "\n")
+    return genome_fn
+
+
 def _preprocess(args, logger=None) -> int:
     from ..io import list_fast5_files, parse_fasta
     from ..train.data import label_read, save_read_npz
     from ..utils import check_path
 
+    if args.test_mode and not os.path.exists(args.genome_fn):
+        args.genome_fn = _test_mode_pseudo_genome(args)
     genome = parse_fasta(args.genome_fn)
     kmer_index = None
     if args.aligner == "sw":

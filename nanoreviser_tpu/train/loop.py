@@ -81,7 +81,7 @@ def train_model(
             print(f"[p:::] resumed from {checkpoint_path} at epoch {start_epoch}")
 
     class_weights = default_class_weights(n_classes)
-    cw = np.asarray(class_weights)
+    cw = jax.numpy.asarray(class_weights)  # jnp: indexed by traced batch["y"]
 
     def loss_fn(params, batch, drop_rng):
         probs, feature, stats = reviser_apply(
