@@ -42,26 +42,27 @@ def measure_baseline():
 
 
 def main():
-    from nanoreviser_tpu.infer import ReviserEngine
+    from nanoreviser_tpu.infer import StreamingReviser
     from nanoreviser_tpu.io import get_read_data, list_fast5_files, write_read_fasta
 
-    engine = ReviserEngine(MODEL1, MODEL2)
+    engine = StreamingReviser(MODEL1, MODEL2)
     fns = list_fast5_files(FAST5_DIR)
     reads = {fn: get_read_data(os.path.join(FAST5_DIR, fn)) for fn in fns}
     n_bases = sum(r.n_bases for r in reads.values())
 
     with tempfile.TemporaryDirectory() as out_dir:
         # warm-up: compile every bucket used by this read set
-        for fn, rd in reads.items():
-            engine.revise_read(rd)
+        for _ in engine.revise_stream(iter(reads.items())):
+            pass
 
         # timed: full end-to-end warm path incl. re-decode + fasta write
         best_dt = float("inf")
         for _ in range(3):
             t0 = time.time()
-            for fn in fns:
-                rd = get_read_data(os.path.join(FAST5_DIR, fn))
-                seq = engine.revise_read(rd)
+            items = (
+                (fn, get_read_data(os.path.join(FAST5_DIR, fn))) for fn in fns
+            )
+            for fn, _rd, seq in engine.revise_stream(items):
                 write_read_fasta(
                     fn, os.path.join(out_dir, fn.split(".")[0] + "_out.fasta"), seq
                 )

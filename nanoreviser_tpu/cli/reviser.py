@@ -104,9 +104,9 @@ def main(argv=None) -> int:
     check_path(args.output_dir)
     engine = None
     if mode == "model":
-        from ..infer import ReviserEngine
+        from ..infer import StreamingReviser
 
-        engine = ReviserEngine(m1, m2, align=args.align)
+        engine = StreamingReviser(m1, m2, align=args.align)
 
     fast5_fns = list_fast5_files(args.fast5_base_dir)
     start_time = time.time()
@@ -114,18 +114,38 @@ def main(argv=None) -> int:
 
     def load(fn: str):
         path = os.path.join(args.fast5_base_dir, fn)
-        return fn, get_read_data(path, args.basecall_group, args.basecall_subgroup)
+        try:
+            return fn, get_read_data(
+                path, args.basecall_group, args.basecall_subgroup
+            ), None
+        except Exception as exc:  # noqa: BLE001 — per-read degradation
+            return fn, None, exc
+
+    def revised_items(loaded):
+        """(fn, read, seq) triples; model mode streams through the device."""
+        def ok_reads():
+            for fn, read, exc in loaded:
+                if exc is not None:
+                    failed.append((fn, str(exc)))
+                    if args.test_mode and logger:
+                        logger.error("[!!! Error] Basecalling")
+                    elif not args.test_mode:
+                        print(f"！！！[Error] fast5 file: {fn}: {exc}")
+                    continue
+                yield fn, read
+
+        if mode == "model":
+            yield from engine.revise_stream(ok_reads(), errors=failed)
+        else:
+            for fn, read in ok_reads():
+                yield fn, read, read.bases
 
     results = []
     with cf.ThreadPoolExecutor(max_workers=max(1, args.thread)) as pool:
         loaded = pool.map(load, fast5_fns)
-        for fn, read in loaded:
+        for fn, read, seq in revised_items(loaded):
             try:
                 stem = fn.split(".")[0]
-                if mode == "model":
-                    seq = engine.revise_read(read)
-                else:
-                    seq = read.bases
                 if args.output_format == "fasta":
                     out_fn = os.path.join(args.output_dir, stem + "_out.fasta")
                     write_read_fasta(fn, out_fn, seq)

@@ -93,6 +93,10 @@ class StreamingReviser:
 
         f1 = fold_inference_params(p1)
         f2 = fold_inference_params(p2)
+        # The fused Pallas kernel is TPU-only; other backends (CPU tests,
+        # hosts without a chip) use the jnp reference stack on the same
+        # BN-folded weights.
+        self._use_pallas = jax.default_backend() == "tpu"
         ws = stack_weight_dicts(
             [pack_stack_weights(f1, win1), pack_stack_weights(f2, win2)]
         )
@@ -100,6 +104,12 @@ class StreamingReviser:
         conv_keys = ("conv1", "bn_c1", "conv2", "bn_c2", "sig_dense")
         self._conv1 = jax.device_put({k: f1[k] for k in conv_keys})
         self._conv2 = jax.device_put({k: f2[k] for k in conv_keys})
+        lstm_keys = (
+            "read_rnn1", "read_rnn2", "total_rnn1", "total_rnn2",
+            "dense1", "dense2", "main_out", "feature", "final_out",
+        )
+        self._lstm1 = jax.device_put({k: f1[k] for k in lstm_keys})
+        self._lstm2 = jax.device_put({k: f2[k] for k in lstm_keys})
         self._fns: dict = {}
 
     # ----------------------------------------------------------- device side
@@ -122,11 +132,18 @@ class StreamingReviser:
                 signal_branch_apply(conv2, sigw, self.cfg),
             ]
         )                                          # [2, W, T, 64]
-        logits = stack_logits_multi(
-            ws, featw, sig_outs, t_len=t, block=self.block
-        )                                          # [2, W, NB_MAX]
-        y1 = jnp.argmax(logits[0], axis=-1).astype(jnp.uint8)
-        y2 = jnp.argmax(logits[1], axis=-1).astype(jnp.uint8)
+        if self._use_pallas:
+            logits = stack_logits_multi(
+                ws, featw, sig_outs, t_len=t, block=self.block
+            )                                      # [2, W, NB_MAX]
+            l1, l2 = logits[0], logits[1]
+        else:
+            from ..models.fused import lstm_stack_apply
+
+            l1 = lstm_stack_apply(self._lstm1, featw, sig_outs[0])
+            l2 = lstm_stack_apply(self._lstm2, featw, sig_outs[1])
+        y1 = jnp.argmax(l1, axis=-1).astype(jnp.uint8)
+        y2 = jnp.argmax(l2, axis=-1).astype(jnp.uint8)
         return y1 * np.uint8(8) + y2
 
     def _get_fn(self, s_pad: int, n_pad: int):
@@ -194,16 +211,26 @@ class StreamingReviser:
             )
             yield p.fast5_name, p.read, seq
 
-    def revise_stream(self, items):
+    def revise_stream(self, items, errors: list | None = None):
         """items: iterable of (fast5_name, ReadData). Yields (name, read, seq).
 
         Two groups are kept in flight so the synchronous group fetch overlaps
         with the next group's device compute.
+
+        Per-read failures degrade to the original bases (the reference's
+        fallback contract, NanoReviser.py:146-154); pass ``errors`` to also
+        collect (name, exception) pairs.
         """
         groups: list[list[_Pending]] = []
         current: list[_Pending] = []
         for name, read in items:
-            current.append(self.submit(name, read))
+            try:
+                current.append(self.submit(name, read))
+            except Exception as exc:  # noqa: BLE001 — per-read degradation
+                if errors is not None:
+                    errors.append((name, exc))
+                yield name, read, read.bases
+                continue
             if len(current) >= self.group_size:
                 groups.append(current)
                 current = []
