@@ -33,9 +33,10 @@ from ..models import load_keras_weights
 from ..models.fused import fold_inference_params, signal_branch_apply
 from ..models.reviser import ReviserConfig
 from ..ops.reviser_kernel import (
+    GP,
     NB_MAX,
     pack_stack_weights,
-    stack_logits_multi,
+    stack_logits_full,
     stack_weight_dicts,
 )
 from ..signal.device_prep import device_preprocess
@@ -114,34 +115,66 @@ class StreamingReviser:
 
     # ----------------------------------------------------------- device side
 
-    def _device_fn(
-        self, ws, conv1, conv2, signal, starts, ab_mean, ab_std, colors,
-        s_valid, n_valid, *, n_pad: int,
-    ):
+    @staticmethod
+    def _unpack(buf, s_pad: int, n_pad: int):
+        """Unpack the single per-read upload buffer (see _pack for layout)."""
+        from jax import lax
+
+        def cut(off, nbytes):
+            return buf[off : off + nbytes], off + nbytes
+
+        hdr, off = cut(0, 8)
+        s_valid, n_valid = lax.bitcast_convert_type(hdr.reshape(2, 4), jnp.int32)
+        sig_b, off = cut(off, 2 * s_pad)
+        signal = lax.bitcast_convert_type(sig_b.reshape(s_pad, 2), jnp.int16)
+        st_b, off = cut(off, 4 * n_pad)
+        starts = lax.bitcast_convert_type(st_b.reshape(n_pad, 4), jnp.int32)
+        f32s = []
+        for _ in range(3):
+            f_b, off = cut(off, 4 * n_pad)
+            f32s.append(
+                lax.bitcast_convert_type(f_b.reshape(n_pad, 4), jnp.float32)
+            )
+        ab_mean, ab_std, colors = f32s
+        return signal, starts, ab_mean, ab_std, colors, s_valid, n_valid
+
+    def _device_fn(self, ws, conv1, conv2, buf, *, s_pad: int, n_pad: int):
         t = self.window
+        (signal, starts, ab_mean, ab_std, colors, s_valid, n_valid) = (
+            self._unpack(buf, s_pad, n_pad)
+        )
         windows, feats = device_preprocess(
             signal, starts, ab_mean, ab_std, colors, s_valid, n_valid
         )
-        n_windows = n_pad - t
-        idx = jnp.arange(n_windows)[:, None] + jnp.arange(t)[None, :]
-        sigw = windows[idx]                        # [W, T, 50]
-        featw = feats[idx]                         # [W, T, 6]
-        sig_outs = jnp.stack(
-            [
-                signal_branch_apply(conv1, sigw, self.cfg),
-                signal_branch_apply(conv2, sigw, self.cfg),
-            ]
-        )                                          # [2, W, T, 64]
         if self._use_pallas:
-            logits = stack_logits_multi(
-                ws, featw, sig_outs, t_len=t, block=self.block
+            # v2 kernel: per-base arrays go straight in; the kernel DMAs
+            # each block's slice and runs the conv branch itself — no
+            # [W, T, 50] gather or separate conv jit (both measured slower
+            # than the entire fused kernel).
+            gp = GP
+            sig_nb = jnp.pad(
+                windows, ((0, 0), (0, gp - windows.shape[1]))
+            ).astype(jnp.bfloat16)
+            feats_nb = jnp.pad(
+                feats, ((0, 0), (0, gp - feats.shape[1]))
+            ).astype(jnp.bfloat16)
+            logits = stack_logits_full(
+                ws, sig_nb, feats_nb, t_len=t, block=self.block
             )                                      # [2, W, NB_MAX]
             l1, l2 = logits[0], logits[1]
         else:
             from ..models.fused import lstm_stack_apply
 
-            l1 = lstm_stack_apply(self._lstm1, featw, sig_outs[0])
-            l2 = lstm_stack_apply(self._lstm2, featw, sig_outs[1])
+            n_windows = n_pad - t
+            idx = jnp.arange(n_windows)[:, None] + jnp.arange(t)[None, :]
+            sigw = windows[idx]                    # [W, T, 50]
+            featw = feats[idx]                     # [W, T, 6]
+            l1 = lstm_stack_apply(
+                self._lstm1, featw, signal_branch_apply(conv1, sigw, self.cfg)
+            )
+            l2 = lstm_stack_apply(
+                self._lstm2, featw, signal_branch_apply(conv2, sigw, self.cfg)
+            )
         y1 = jnp.argmax(l1, axis=-1).astype(jnp.uint8)
         y2 = jnp.argmax(l2, axis=-1).astype(jnp.uint8)
         return y1 * np.uint8(8) + y2
@@ -150,7 +183,7 @@ class StreamingReviser:
         key = (s_pad, n_pad)
         if key not in self._fns:
             self._fns[key] = jax.jit(
-                functools.partial(self._device_fn, n_pad=n_pad)
+                functools.partial(self._device_fn, s_pad=s_pad, n_pad=n_pad)
             )
         return self._fns[key]
 
@@ -168,28 +201,42 @@ class StreamingReviser:
         )
         return s_pad, w_pad + t
 
+    @staticmethod
+    def _pack(read: ReadData, tail, s_pad: int, n_pad: int) -> np.ndarray:
+        """One contiguous upload buffer per read — a single h2d transfer.
+
+        The tunnel to the chip costs ~10 ms of round-trip latency PER
+        transfer, dwarfing the ~200 KB payload; packing the header + five
+        arrays into one uint8 buffer cuts 6-7 transfers to 1 (measured ~2x
+        end-to-end read throughput). Layout (little-endian):
+          [0:8)   int32 s_valid, int32 n_valid
+          [8:...) int16 signal[s_pad] | int32 starts[n_pad]
+                  | f32 ab_mean | f32 ab_std | f32 colors  (each [n_pad])
+        """
+        n = read.n_bases
+        buf = np.zeros(8 + 2 * s_pad + 16 * n_pad, np.uint8)
+        np.frombuffer(buf, np.int32, 2, 0)[:] = (len(tail), n)
+        off = 8
+        sig = np.frombuffer(buf, np.int16, s_pad, off)
+        sig[: len(tail)] = tail
+        off += 2 * s_pad
+        st = np.frombuffer(buf, np.int32, n_pad, off)
+        st[:n] = read.starts
+        st[n:] = read.starts[-1]
+        off += 4 * n_pad
+        for arr in (read.ab_mean, read.ab_std, base_colors(read.bases)):
+            dst = np.frombuffer(buf, np.float32, n_pad, off)
+            dst[:n] = arr
+            off += 4 * n_pad
+        return buf
+
     def submit(self, fast5_name: str, read: ReadData) -> _Pending:
         t = self.window
         tail = read.signal[read.read_start_rel_to_raw :]
         s_pad, n_pad = self._buckets(len(tail), read.n_bases)
-
-        sig_p = np.zeros(s_pad, np.int16)
-        sig_p[: len(tail)] = tail
-        st_p = np.full(n_pad, read.starts[-1], np.int32)
-        st_p[: read.n_bases] = read.starts
-        abm = np.zeros(n_pad, np.float32)
-        abm[: read.n_bases] = read.ab_mean
-        abs_ = np.zeros(n_pad, np.float32)
-        abs_[: read.n_bases] = read.ab_std
-        col = np.zeros(n_pad, np.float32)
-        col[: read.n_bases] = base_colors(read.bases)
-
+        buf = self._pack(read, tail, s_pad, n_pad)
         fn = self._get_fn(s_pad, n_pad)
-        out = fn(
-            self._ws, self._conv1, self._conv2,
-            sig_p, st_p, abm, abs_, col,
-            np.int32(len(tail)), np.int32(read.n_bases),
-        )
+        out = fn(self._ws, self._conv1, self._conv2, buf)
         return _Pending(fast5_name, read, out, max(read.n_bases - t, 0))
 
     def _finish(self, group: list[_Pending]):

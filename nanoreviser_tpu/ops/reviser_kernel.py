@@ -54,8 +54,8 @@ def _mm(a, b):
     )
 
 
-def _kernel(
-    feats_ref, sig_ref,
+def _stack_tail(
+    feats, sigs,
     wi1f_ref, b1f_ref, wh1f_ref, wi1b_ref, b1b_ref, wh1b_ref,
     wi2f_ref, wh2f_ref, b2f_ref, wi2b_ref, wh2b_ref, b2b_ref,
     wi3f_ref, wh3f_ref, b3f_ref, wi3b_ref, wh3b_ref, b3b_ref,
@@ -67,8 +67,11 @@ def _kernel(
     t_len: int,
     block: int,
 ):
-    # Every ref carries a leading model axis of block-size 1 (the grid's first
-    # dimension selects the model); [0] drops it.
+    """LSTM stack + heads on per-timestep input lists (shared kernel core).
+
+    feats/sigs: lists of t_len [block, GP] arrays. Weight refs carry a
+    leading model axis of block-size 1 (grid dim 0 selects the model).
+    """
     f32 = jnp.float32
     bf16 = jnp.bfloat16
 
@@ -97,7 +100,6 @@ def _kernel(
         b = b_ref[0].astype(f32)
         return lambda t: _mm(inputs[t], wi) + b
 
-    feats = [feats_ref[0, t] for t in range(t_len)]
     l1f = run_direction(proj(feats, wi1f_ref, b1f_ref), wh1f_ref, fwd)
     l1b = run_direction(proj(feats, wi1b_ref, b1b_ref), wh1b_ref, bwd)
     l1 = [jnp.concatenate([f, b], axis=1) for f, b in zip(l1f, l1b)]
@@ -105,7 +107,7 @@ def _kernel(
     l2f = run_direction(proj(l1, wi2f_ref, b2f_ref), wh2f_ref, fwd)
     l2b = run_direction(proj(l1, wi2b_ref, b2b_ref), wh2b_ref, bwd)
     l2 = [
-        jnp.concatenate([f, b, sig_ref[0, t]], axis=1)
+        jnp.concatenate([f, b, sigs[t]], axis=1)
         for t, (f, b) in enumerate(zip(l2f, l2b))
     ]
 
@@ -134,7 +136,140 @@ def _kernel(
     logits_ref[0] = logits
 
 
+def _kernel(feats_ref, sig_ref, *refs, t_len: int, block: int):
+    """v1 kernel: pre-gathered [1, T, block, GP] window inputs."""
+    feats = [feats_ref[0, t] for t in range(t_len)]
+    sigs = [sig_ref[0, t] for t in range(t_len)]
+    _stack_tail(feats, sigs, *refs, t_len=t_len, block=block)
+
+
+def _kernel_full(
+    sig_hbm, feats_hbm,
+    cw1_ref, cb1_ref, cw2_ref, cb2_ref, cc_ref, ce_ref, cbias_ref,
+    *refs,
+    t_len: int,
+    block: int,
+):
+    """v2 kernel: whole per-BASE arrays stay in HBM; each program DMAs its
+    contiguous [block + T, GP] slice and computes the conv branch in-kernel.
+
+    Window w's timestep t is base w + t, so a block of windows [w0, w0+block)
+    needs base rows [w0, w0+block+T) — one DMA, then T static [block, GP]
+    slices of the scratch. This replaces the XLA-side window gather
+    ([W, T, 50] materialization, ~27 MB/read) and the separate conv-branch
+    jit — both measured slower than the whole fused kernel.
+
+    The conv residual block + per-step dense are applied in dense form
+    (see conv_dense_form): sig64 = relu(relu(x@W1+c1)@W2+c2)@C + x@E + c.
+    """
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    # program_id must be read outside run_scoped (interpret mode has no grid
+    # context inside the scoped body)
+    w0 = pl.program_id(1) * block
+
+    def body(sig_scr, feat_scr, sems):
+        rows = block + t_len
+        d1 = pltpu.make_async_copy(
+            sig_hbm.at[pl.ds(w0, rows), :], sig_scr, sems.at[0]
+        )
+        d2 = pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(w0, rows), :], feat_scr, sems.at[1]
+        )
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+
+        cw1 = cw1_ref[0]
+        cb1 = cb1_ref[0].astype(f32)
+        cw2 = cw2_ref[0]
+        cb2 = cb2_ref[0].astype(f32)
+        cc = cc_ref[0]
+        ce = ce_ref[0]
+        cbias = cbias_ref[0].astype(f32)
+
+        feats = []
+        sigs = []
+        for t in range(t_len):
+            xs = sig_scr[pl.ds(t, block), :]                     # [block, GP]
+            z1 = jnp.maximum(_mm(xs, cw1) + cb1, 0.0).astype(bf16)
+            z2 = jnp.maximum(_mm(z1, cw2) + cb2, 0.0).astype(bf16)
+            s64 = _mm(z2, cc) + _mm(xs, ce) + cbias
+            sigs.append(s64.astype(bf16))
+            feats.append(feat_scr[pl.ds(t, block), :])
+
+        _stack_tail(feats, sigs, *refs, t_len=t_len, block=block)
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((block + t_len, GP), jnp.bfloat16),
+        pltpu.VMEM((block + t_len, GP), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
 # --------------------------------------------------------------- weight prep
+
+
+def conv_dense_form(params: dict) -> dict:
+    """Fold the conv residual block + per-step dense into 3 dense matmuls.
+
+    The signal branch (models/reviser.py _signal_branch; reference
+    nanorevcnn.py:17-38) per timestep maps x[50] ->
+      h1 = bn1(relu(conv1(x)));  h2 = bn2(relu(conv2(h1)));
+      res = h2 + x[:, None];     out64 = flatten(res) @ D + bd.
+    Conv1D('same', k=3) is a banded linear map, so with BN affines
+    (s, t) folded this is exactly
+      out64 = relu(relu(x@W1 + c1) @ W2 + c2) @ C + x@E + cb
+    with W1 [50, 400], W2 [400, 400], C [400, 64], E [50, 64].
+    Dense-form costs ~2.7x the conv FLOPs but is pure aligned MXU work.
+    """
+    from ..models.fused import _bn_affine
+
+    w1 = np.asarray(params["conv1"]["w"], np.float64)   # [3, 1, F]
+    b1 = np.asarray(params["conv1"]["b"], np.float64)
+    w2 = np.asarray(params["conv2"]["w"], np.float64)   # [3, F, F]
+    b2 = np.asarray(params["conv2"]["b"], np.float64)
+    d = np.asarray(params["sig_dense"]["w"], np.float64)   # [S*F, 64]
+    bd = np.asarray(params["sig_dense"]["b"], np.float64)
+    s1, t1 = _bn_affine(params["bn_c1"])
+    s2, t2 = _bn_affine(params["bn_c2"])
+    kk, _, f = w1.shape
+    s = d.shape[0] // f
+    half = kk // 2
+
+    # W1[j, p*F + c] = w1[j - p + half, 0, c] for |j - p| <= half
+    w1_dense = np.zeros((s, s * f), np.float64)
+    w2_dense = np.zeros((s * f, s * f), np.float64)
+    for p in range(s):
+        for dk in range(-half, half + 1):
+            j = p + dk
+            if 0 <= j < s:
+                w1_dense[j, p * f : (p + 1) * f] = w1[dk + half, 0]
+                w2_dense[j * f : (j + 1) * f, p * f : (p + 1) * f] = w2[dk + half]
+    c1 = np.tile(b1, s)
+    s1r, t1r = np.tile(s1, s), np.tile(t1, s)
+    s2r, t2r = np.tile(s2, s), np.tile(t2, s)
+
+    w2f = s1r[:, None] * w2_dense
+    c2 = t1r @ w2_dense + np.tile(b2, s)
+    c_mat = s2r[:, None] * d
+    e_mat = d.reshape(s, f, -1).sum(axis=1)            # residual x broadcast
+    cb = t2r @ d + bd
+    return {
+        "W1": w1_dense.astype(np.float32), "c1": c1.astype(np.float32),
+        "W2": w2f.astype(np.float32), "c2": c2.astype(np.float32),
+        "C": c_mat.astype(np.float32), "E": e_mat.astype(np.float32),
+        "cb": cb.astype(np.float32),
+    }
+
+
+def conv_dense_apply(cd: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """jnp reference of the dense-form signal branch: [.., 50] -> [.., 64]."""
+    z1 = jax.nn.relu(x @ cd["W1"] + cd["c1"])
+    z2 = jax.nn.relu(z1 @ cd["W2"] + cd["c2"])
+    return z2 @ cd["C"] + x @ cd["E"] + cd["cb"]
 
 
 def _pad2(arr, rows, cols, row_idx=None):
@@ -244,6 +379,18 @@ def pack_stack_weights(fused: dict, t_len: int, dtype=jnp.bfloat16) -> dict:
     fob[0, : fow.shape[1]] = np.asarray(fused["final_out"]["b"], np.float32)
     w["fob"] = fob
 
+    # dense-form conv branch (v2 full kernel); 400 -> 512 lanes, 50 -> GP rows
+    cd = conv_dense_form(fused)
+    sf = cd["W1"].shape[1]                       # true S*F (400)
+    w["cw1"] = cvt(_pad2(cd["W1"], GP, 4 * GP))
+    w["cb1"] = np.asarray(_pad2(cd["c1"][None, :], 1, 4 * GP))
+    w["cw2"] = cvt(_pad2(cd["W2"], 4 * GP, 4 * GP))
+    w["cb2"] = np.asarray(_pad2(cd["c2"][None, :], 1, 4 * GP))
+    w["cc"] = cvt(_pad2(cd["C"], 4 * GP, GP))
+    w["ce"] = cvt(_pad2(cd["E"], GP, GP))
+    w["cbias"] = np.asarray(_pad2(cd["cb"][None, :], 1, GP))
+    assert sf <= 4 * GP
+
     return w
 
 
@@ -255,6 +402,8 @@ WEIGHT_ORDER = [
     "d1w", "d1b", "d2w", "d2b", "mow", "mob",
     "fw", "fb", "fow", "fob",
 ]
+
+CONV_ORDER = ["cw1", "cb1", "cw2", "cb2", "cc", "ce", "cbias"]
 
 
 def stack_weight_dicts(per_model: list[dict]) -> dict:
@@ -313,8 +462,54 @@ def stack_logits_multi(
             (1, block, GP), lambda m, i: (m, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_models, b_total, GP), jnp.float32),
+        # NOTE: PARALLEL dimension_semantics measured 30% SLOWER here (no
+        # megacore split on this chip; it inhibits sequential-grid
+        # prefetch pipelining), so the grid stays ARBITRARY.
         interpret=interpret,
     )(feats_tbh, sig_tbh, *weights)
+    return out[:, :, :NB_MAX]
+
+
+def stack_logits_full(
+    ws: dict,               # stacked packed weights incl. CONV_ORDER keys
+    sig_nb: jnp.ndarray,    # [N, GP] bf16 per-base normalized signal windows
+    feats_nb: jnp.ndarray,  # [N, GP] bf16 per-base features (lanes 6: zero)
+    *,
+    t_len: int,
+    block: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Logits [M, W, NB_MAX] for W = N - t_len windows, both models fused.
+
+    Unlike stack_logits_multi, inputs are per-BASE arrays living in HBM; the
+    kernel DMAs each block's contiguous slice and runs the conv branch
+    itself, so no [W, T, 50] gather is ever materialized.
+    """
+    n = sig_nb.shape[0]
+    n_windows = n - t_len
+    assert n_windows % block == 0, (n, t_len, block)
+    n_blocks = n_windows // block
+    n_models = ws["cw1"].shape[0]
+
+    def wspec(arr):
+        return pl.BlockSpec(
+            (1,) + arr.shape[1:],
+            lambda m, i, _n=arr.ndim - 1: (m,) + (0,) * _n,
+            memory_space=pltpu.VMEM,
+        )
+
+    weights = [ws[k] for k in CONV_ORDER + WEIGHT_ORDER]
+    out = pl.pallas_call(
+        functools.partial(_kernel_full, t_len=t_len, block=block),
+        grid=(n_models, n_blocks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        + [wspec(x) for x in weights],
+        out_specs=pl.BlockSpec(
+            (1, block, GP), lambda m, i: (m, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_models, n_windows, GP), jnp.float32),
+        interpret=interpret,
+    )(sig_nb, feats_nb, *weights)
     return out[:, :, :NB_MAX]
 
 
