@@ -1,15 +1,21 @@
 #!/usr/bin/env python
-"""Benchmark: TPU model-path inference throughput on the unitest reads.
+"""Benchmark: TPU model-path inference throughput.
 
 Prints ONE JSON line:
   {"metric": "model_path_reads_per_s_per_chip", "value": N, "unit": "reads/s",
    "vs_baseline": N / <reference CPU reads/s>, ...extras}
 
-The headline is the resurrected model path (decode -> windows -> model1+model2
--> merge -> fasta) per chip, warm (post-compile). The baseline is the
-reference's shipped per-read work (its own functions run from source under its
-own Pool fan-out — benchmarks/reference_baseline.py); the reference does LESS
-work per read (it never runs its models), so vs_baseline is conservative.
+The headline is sustained model-path throughput (decode -> segmented device
+preprocessing -> fused dual-model Pallas kernel -> merge -> fasta) over the
+100-read training set, per chip, warm. ``degraded_reads`` MUST be 0 — a read
+that fell back to passthrough (the reference's failure contract) is a failed
+read for benchmarking purposes, and the metric hard-fails to 0.0 if any
+occur. Extras report 5-read unitest latency and the passthrough ceiling.
+
+Baseline: the reference's shipped per-read work measured on this host
+(benchmarks/reference_baseline.py, its own functions under its own
+multiprocessing.Pool); the reference does LESS work per read (it never runs
+its models), so vs_baseline is conservative.
 """
 
 import json
@@ -19,7 +25,8 @@ import sys
 import tempfile
 import time
 
-FAST5_DIR = "/root/reference/unitest/test_data/fast5"
+UNITEST_DIR = "/root/reference/unitest/test_data/fast5"
+TRAIN_DIR = "/root/reference/unitest/training_data/fast5"
 MODEL1 = "/root/reference/model/ecoli/ecoli_win13_50ep_model1.h5"
 MODEL2 = "/root/reference/model/ecoli/ecoli_win13_50ep_model2.h5"
 
@@ -32,7 +39,7 @@ def measure_baseline():
     try:
         out = subprocess.run(
             [sys.executable, os.path.join("benchmarks", "reference_baseline.py"),
-             FAST5_DIR, "2"],
+             UNITEST_DIR, "2"],
             capture_output=True, text=True, timeout=300,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -41,56 +48,100 @@ def measure_baseline():
         return dict(FALLBACK_BASELINE)
 
 
+def _stream(engine, fast5_dir, fns, out_dir, errors, pool):
+    """Full end-to-end pass: decode (2 host threads) -> device -> fasta."""
+    from nanoreviser_tpu.io import get_read_data, write_read_fasta
+
+    def load(fn):
+        return fn, get_read_data(os.path.join(fast5_dir, fn))
+
+    import collections
+    queue = collections.deque()
+
+    def loaded():
+        it = iter(fns)
+        for fn in it:
+            queue.append(pool.submit(load, fn))
+            if len(queue) >= 16:
+                yield queue.popleft().result()
+        while queue:
+            yield queue.popleft().result()
+
+    n_out = 0
+    for fn, _rd, seq, _q in engine.revise_stream(loaded(), errors=errors):
+        write_read_fasta(
+            fn, os.path.join(out_dir, fn.split(".")[0] + "_out.fasta"), seq
+        )
+        n_out += 1
+    return n_out
+
+
 def main():
+    import concurrent.futures as cf
+
     from nanoreviser_tpu.infer import StreamingReviser
     from nanoreviser_tpu.io import get_read_data, list_fast5_files, write_read_fasta
 
     engine = StreamingReviser(MODEL1, MODEL2)
-    fns = list_fast5_files(FAST5_DIR)
-    reads = {fn: get_read_data(os.path.join(FAST5_DIR, fn)) for fn in fns}
-    n_bases = sum(r.n_bases for r in reads.values())
+    uni_fns = list_fast5_files(UNITEST_DIR)
+    train_fns = list_fast5_files(TRAIN_DIR) if os.path.isdir(TRAIN_DIR) else []
+    sustained_fns = train_fns if len(train_fns) >= 20 else uni_fns * 20
 
-    with tempfile.TemporaryDirectory() as out_dir:
-        # warm-up: compile every bucket used by this read set
-        for _ in engine.revise_stream(iter(reads.items())):
-            pass
+    n_bases_uni = sum(
+        get_read_data(os.path.join(UNITEST_DIR, fn)).n_bases for fn in uni_fns
+    )
+    n_bases_sus = sum(
+        get_read_data(os.path.join(TRAIN_DIR if train_fns else UNITEST_DIR, fn)).n_bases
+        for fn in sustained_fns[: len(train_fns) or len(uni_fns)]
+    )
+    if not train_fns:
+        n_bases_sus *= 20
 
-        # timed: full end-to-end warm path incl. re-decode + fasta write
-        best_dt = float("inf")
+    errors: list = []
+    with tempfile.TemporaryDirectory() as out_dir, \
+            cf.ThreadPoolExecutor(max_workers=2) as pool:
+        sus_dir = TRAIN_DIR if train_fns else UNITEST_DIR
+        # warm-up: compile the single fixed-shape program
+        _stream(engine, UNITEST_DIR, uni_fns, out_dir, errors, pool)
+
+        # timed: sustained throughput over the big read set
+        t0 = time.time()
+        n = _stream(engine, sus_dir, sustained_fns, out_dir, errors, pool)
+        sustained_dt = time.time() - t0
+        assert n == len(sustained_fns)
+
+        # timed: 5-read unitest latency (cold pipeline, warm compile)
+        best_uni = float("inf")
         for _ in range(3):
             t0 = time.time()
-            items = (
-                (fn, get_read_data(os.path.join(FAST5_DIR, fn))) for fn in fns
-            )
-            for fn, _rd, seq in engine.revise_stream(items):
-                write_read_fasta(
-                    fn, os.path.join(out_dir, fn.split(".")[0] + "_out.fasta"), seq
-                )
-            best_dt = min(best_dt, time.time() - t0)
+            _stream(engine, UNITEST_DIR, uni_fns, out_dir, errors, pool)
+            best_uni = min(best_uni, time.time() - t0)
 
         # passthrough (bit-exact reference-output path) timing
         t0 = time.time()
-        for fn in fns:
-            rd = get_read_data(os.path.join(FAST5_DIR, fn))
+        for fn in uni_fns:
+            rd = get_read_data(os.path.join(UNITEST_DIR, fn))
             write_read_fasta(
                 fn, os.path.join(out_dir, fn.split(".")[0] + "_pt.fasta"), rd.bases
             )
         passthrough_dt = time.time() - t0
 
     baseline = measure_baseline()
-    reads_per_s = len(fns) / best_dt
+    degraded = len(errors)
+    reads_per_s = len(sustained_fns) / sustained_dt if degraded == 0 else 0.0
     result = {
         "metric": "model_path_reads_per_s_per_chip",
         "value": round(reads_per_s, 3),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / baseline["reads_per_s"], 3),
-        "bases_per_s": round(n_bases / best_dt, 1),
-        "passthrough_reads_per_s": round(len(fns) / passthrough_dt, 3),
-        "passthrough_vs_baseline": round(
-            (len(fns) / passthrough_dt) / baseline["reads_per_s"], 3
-        ),
+        "degraded_reads": degraded,
+        "degraded_detail": [f"{n}: {e}" for n, e in errors[:3]],
+        "bases_per_s": round(n_bases_sus / sustained_dt, 1) if not degraded else 0.0,
+        "sustained_n_reads": len(sustained_fns),
+        "unitest_5read_reads_per_s": round(len(uni_fns) / best_uni, 3),
+        "unitest_bases_per_s": round(n_bases_uni / best_uni, 1),
+        "passthrough_reads_per_s": round(len(uni_fns) / passthrough_dt, 3),
         "baseline_reads_per_s": round(baseline["reads_per_s"], 3),
-        "n_reads": len(fns),
     }
     print(json.dumps(result))
 

@@ -130,145 +130,6 @@ class KmerIndex:
 # ------------------------------------------------------------------ banded DP
 
 
-@functools.partial(
-    jax.jit, static_argnames=("m_pad", "n_pad", "band")
-)
-def _banded_align_device(
-    q: jnp.ndarray,          # [m_pad] int8 query codes (pad 4)
-    t: jnp.ndarray,          # [n_pad] int8 target codes (pad 4)
-    m: jnp.ndarray,          # true query length
-    n: jnp.ndarray,          # true target length
-    match: jnp.ndarray,
-    mismatch: jnp.ndarray,
-    gap_open: jnp.ndarray,
-    gap_extend: jnp.ndarray,
-    *,
-    m_pad: int,
-    n_pad: int,
-    band: int,
-):
-    """Glocal banded affine DP. Returns (score, j_end, packed_moves).
-
-    Row i's band slot k covers target column j = j0(i) + k - band//2 with
-    the center diagonal j0(i) = i + (n - m) * i // m tracking the global
-    drift. packed_moves is [m_pad, band//4] uint8 (4 moves per byte).
-    """
-    half = band // 2
-    ks = jnp.arange(band)
-    log_steps = int(np.ceil(np.log2(band)))
-
-    def j0(i):
-        return i + ((n - m) * i) // jnp.maximum(m, 1)
-
-    def row(h_prev, e_prev, i):
-        shift = j0(i) - j0(i - 1)
-
-        def shifted(x):
-            src = ks + shift
-            return jnp.where(
-                (src >= 0) & (src < band),
-                x[jnp.clip(src, 0, band - 1)],
-                NEG_INF,
-            )
-
-        def shifted_m1(x):
-            src = ks + shift - 1
-            return jnp.where(
-                (src >= 0) & (src < band),
-                x[jnp.clip(src, 0, band - 1)],
-                NEG_INF,
-            )
-
-        h_diag = shifted_m1(h_prev)      # (i-1, j-1)
-        h_up = shifted(h_prev)           # (i-1, j)
-        e_up = shifted(e_prev)
-
-        j = j0(i) + ks - half
-        valid_j = (j >= 0) & (j < n)
-        qi = q[jnp.clip(i, 0, m_pad - 1)]
-        tj = t[jnp.clip(j, 0, n_pad - 1)]
-        sub = jnp.where(qi == tj, match, mismatch)
-
-        diag_score = h_diag + sub
-        e = jnp.maximum(h_up + gap_open, e_up + gap_extend)   # gap in target (UP)
-        h_nf = jnp.maximum(diag_score, e)
-        h_nf = jnp.where(valid_j, h_nf, NEG_INF)
-
-        # exact in-row left-gap: F(k) = open + k*ext + max_{k'<k}(H_nf(k') - k'*ext)
-        g = h_nf - ks * gap_extend
-        run = g
-        for p in range(log_steps):
-            s = 1 << p
-            prev = jnp.where(
-                ks >= s, run[jnp.clip(ks - s, 0, band - 1)], NEG_INF
-            )
-            run = jnp.maximum(run, prev)
-        p_excl = jnp.where(ks >= 1, run[jnp.clip(ks - 1, 0, band - 1)], NEG_INF)
-        f = gap_open + ks * gap_extend + p_excl
-
-        h_row = jnp.maximum(h_nf, f)
-        h_row = jnp.where(valid_j, h_row, NEG_INF)
-
-        move = jnp.where(
-            h_row == diag_score,
-            DIAG,
-            jnp.where(h_row == e, UP, LEFT),
-        ).astype(jnp.uint8)
-        return h_row, e, move
-
-    def scan_body(carry, i):
-        h_prev, e_prev = carry
-        h_row, e_row, move = row(h_prev, e_prev, i)
-        packed = (
-            move.reshape(band // 4, 4)
-            * jnp.asarray([1, 4, 16, 64], jnp.uint8)[None, :]
-        ).sum(axis=1, dtype=jnp.uint8)
-        return (h_row, e_row), packed
-
-    # row 0: free leading target gap (glocal) — H(0,j) = sub(q0, t_j)
-    j_row0 = j0(0) + ks - half
-    tj0 = t[jnp.clip(j_row0, 0, n_pad - 1)]
-    sub0 = jnp.where(q[0] == tj0, match, mismatch)
-    h0 = jnp.where((j_row0 >= 0) & (j_row0 < n), sub0, NEG_INF)
-    e0 = jnp.full(band, NEG_INF)
-
-    (h_fin, _), packed = jax.lax.scan(
-        scan_body, (h0, e0), jnp.arange(1, m_pad)
-    )
-    packed = jnp.concatenate(
-        [jnp.zeros((1, band // 4), jnp.uint8), packed]
-    )
-
-    # NOTE: h_fin is row m_pad-1, but we need row m-1. Rerun would be costly;
-    # instead pad rows beyond m-1 keep propagating — we gather the true last
-    # row's H from a second scan output. To avoid storing all H rows, the
-    # scan also emits the best (score, k) seen at row m-1 via masking.
-    # Simpler: store per-row best-by-k only for the needed row using where.
-    # (h rows are cheap to emit: [m_pad, band] f32 = 12k*512*4 = 24 MB in HBM;
-    # but we only need row m-1 — recompute via emitting h rows masked.)
-    return h_fin, packed, h0
-
-
-def _banded_align_full(q_p, t_p, m, n, band, scores):
-    """Wrapper that also recovers the end column on the true last row."""
-    m_pad = q_p.shape[0]
-    n_pad = t_p.shape[0]
-
-    # run the scan but emit H rows; HBM cost m_pad*band*4 bytes (ok: <=32 MB)
-    @functools.partial(jax.jit, static_argnames=())
-    def run(q, t, m_, n_, match, mismatch, gap_open, gap_extend):
-        return _banded_align_emit(
-            q, t, m_, n_, match, mismatch, gap_open, gap_extend,
-            m_pad=m_pad, n_pad=n_pad, band=band,
-        )
-
-    return run(
-        q_p, t_p, m, n,
-        jnp.float32(scores["match"]), jnp.float32(scores["mismatch"]),
-        jnp.float32(scores["gap_open"]), jnp.float32(scores["gap_extend"]),
-    )
-
-
 @functools.partial(jax.jit, static_argnames=("m_pad", "n_pad", "band"))
 def _banded_align_emit(
     q, t, m, n, j_lead, j_tail, match, mismatch, gap_open, gap_extend,

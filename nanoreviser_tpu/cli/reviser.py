@@ -22,10 +22,25 @@ Differences (improvements, documented):
 from __future__ import annotations
 
 import argparse
+import collections
 import concurrent.futures as cf
 import os
 import sys
 import time
+
+import numpy as np
+
+
+def _bounded_map(pool, fn, items, prefetch: int):
+    """pool.map with a bounded prefetch window (plain map would submit the
+    whole directory at once and hold every decoded read in memory)."""
+    queue = collections.deque()
+    for item in items:
+        queue.append(pool.submit(fn, item))
+        if len(queue) >= prefetch:
+            yield queue.popleft().result()
+    while queue:
+        yield queue.popleft().result()
 
 
 def get_args(argv=None):
@@ -106,7 +121,10 @@ def main(argv=None) -> int:
     if mode == "model":
         from ..infer import StreamingReviser
 
-        engine = StreamingReviser(m1, m2, align=args.align)
+        engine = StreamingReviser(
+            m1, m2, align=args.align,
+            emit_quality=(args.output_format == "fastq"),
+        )
 
     fast5_fns = list_fast5_files(args.fast5_base_dir)
     start_time = time.time()
@@ -115,14 +133,25 @@ def main(argv=None) -> int:
     def load(fn: str):
         path = os.path.join(args.fast5_base_dir, fn)
         try:
-            return fn, get_read_data(
+            read = get_read_data(
                 path, args.basecall_group, args.basecall_subgroup
-            ), None
+            )
+            if mode == "model":
+                # precompute the MAD normalizers on the decode threads
+                import dataclasses
+
+                from ..signal.segmentation import mad_normalizers_int16
+
+                tail = read.signal[read.read_start_rel_to_raw :]
+                read = dataclasses.replace(
+                    read, mad=mad_normalizers_int16(np.ascontiguousarray(tail))
+                )
+            return fn, read, None
         except Exception as exc:  # noqa: BLE001 — per-read degradation
             return fn, None, exc
 
     def revised_items(loaded):
-        """(fn, read, seq) triples; model mode streams through the device."""
+        """(fn, read, seq, qual) tuples; model mode streams through the device."""
         def ok_reads():
             for fn, read, exc in loaded:
                 if exc is not None:
@@ -138,12 +167,13 @@ def main(argv=None) -> int:
             yield from engine.revise_stream(ok_reads(), errors=failed)
         else:
             for fn, read in ok_reads():
-                yield fn, read, read.bases
+                yield fn, read, read.bases, None
 
     results = []
     with cf.ThreadPoolExecutor(max_workers=max(1, args.thread)) as pool:
-        loaded = pool.map(load, fast5_fns)
-        for fn, read, seq in revised_items(loaded):
+        prefetch = max(2 * max(1, args.thread), 64)
+        loaded = _bounded_map(pool, load, fast5_fns, prefetch)
+        for fn, read, seq, qual in revised_items(loaded):
             try:
                 stem = fn.split(".")[0]
                 if args.output_format == "fasta":
@@ -151,9 +181,14 @@ def main(argv=None) -> int:
                     write_read_fasta(fn, out_fn, seq)
                 else:
                     out_fn = os.path.join(args.output_dir, stem + "_out.fastq")
-                    if mode == "model":
-                        qual = "+" * len(seq)
-                    else:
+                    if mode == "model" and qual is None:
+                        # degraded read: fall back to the embedded qualities
+                        seq, qual = extract_fastq(
+                            os.path.join(args.fast5_base_dir, fn),
+                            args.basecall_group,
+                            args.basecall_subgroup,
+                        )
+                    elif mode != "model":
                         seq, qual = extract_fastq(
                             os.path.join(args.fast5_base_dir, fn),
                             args.basecall_group,

@@ -165,6 +165,20 @@ def main(argv=None) -> int:
         x_train, signal_x_train, y_train, y_train2 = load_training_corpus(
             args.train_input_dir, args.window_size
         )
+
+        # dp mesh over every local device: batches shard on "dp", params
+        # replicate, XLA inserts the gradient psum (SURVEY.md §2.3). On a
+        # single chip this is a 1-device mesh — same code path as 8 chips.
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        mesh = Mesh(_np.asarray(devices), ("dp",))
+        # fixed-shape padded batches divide evenly across the mesh
+        if args.batch_size % len(devices):
+            args.batch_size += len(devices) - args.batch_size % len(devices)
+
         jobs = []
         if args.model_type in ("both", "model1"):
             jobs.append(("model1", y_train, 6, args.model1_train_dir))
@@ -195,6 +209,7 @@ def main(argv=None) -> int:
                 ),
                 resume=args.resume,
                 verbose=not args.test_mode,
+                mesh=mesh,
             )
             save_params_npz(params, pre_fn.replace(".h5", ".npz"))
             save_keras_weights(params, pre_fn, window=args.window_size,

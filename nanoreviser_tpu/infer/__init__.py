@@ -1,11 +1,9 @@
-from .merge import merge_revision, labels_to_bases
-from .pipeline import ReviserEngine, revise_read_passthrough
+from .merge import labels_to_bases, merge_revision, merge_revision_with_quality
 from .streaming import StreamingReviser
 
 __all__ = [
     "merge_revision",
+    "merge_revision_with_quality",
     "labels_to_bases",
-    "ReviserEngine",
     "StreamingReviser",
-    "revise_read_passthrough",
 ]

@@ -66,6 +66,90 @@ def merge_core(bases: np.ndarray, y1: np.ndarray, y2: np.ndarray) -> np.ndarray:
     return out
 
 
+def _merge_core_with_quality(
+    bases: np.ndarray, y1: np.ndarray, y2: np.ndarray,
+    q1: np.ndarray, q2: np.ndarray, fill_q: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """merge_core plus a parallel phred-value array (uint8, 0-93).
+
+    First emitted char carries model1's confidence (it made the call);
+    a deletion-recovery's inserted char carries model2's. ``fill_q`` is
+    unused here but kept for signature symmetry.
+    """
+    del fill_q
+    n = min(len(bases), len(y1), len(y2))
+    b, y, z = bases[:n], y1[:n], y2[:n]
+    q1, q2 = q1[:n], q2[:n]
+
+    sub_fix = (y == z) & _ACGT[y]
+    del_fix = (y == _D) & _ACGT[z]
+    ins_drop = (y == _DASH) & (z == _DASH) & ~sub_fix & ~del_fix
+
+    counts = np.where(del_fix, 2, np.where(ins_drop, 0, 1))
+    first = np.where(sub_fix, y, b)
+    total = int(counts.sum())
+    out = np.empty(total, dtype=np.uint8)
+    out_q = np.empty(total, dtype=np.uint8)
+    offs = np.cumsum(counts) - counts
+    emit1 = counts >= 1
+    out[offs[emit1]] = first[emit1]
+    out_q[offs[emit1]] = q1[emit1]
+    out[offs[del_fix] + 1] = z[del_fix]
+    out_q[offs[del_fix] + 1] = q2[del_fix]
+    return out, out_q
+
+
+def merge_revision_with_quality(
+    bases: str,
+    y1_labels: np.ndarray,
+    y2_labels: np.ndarray,
+    q1: np.ndarray,
+    q2: np.ndarray,
+    align: str = "reference",
+    window: int = 13,
+    fill_q: int = 20,
+) -> tuple[str, str]:
+    """merge_revision plus a phred-33 quality string from the models' max
+    softmax probabilities (the reference's Guppy path emitted real qualities,
+    output_handeler.py:86-102; its dormant model path had none). Bases the
+    model did not cover (align="center" head/tail) get ``fill_q``.
+    """
+    base_codes = np.frombuffer(bases.encode("ascii"), dtype=np.uint8)
+    y1 = labels_to_bases(y1_labels, model2=False)
+    y2 = labels_to_bases(y2_labels, model2=True)
+    q1 = np.asarray(q1, np.uint8)
+    q2 = np.asarray(q2, np.uint8)
+
+    if align == "reference":
+        merged, mq = _merge_core_with_quality(base_codes, y1, y2, q1, q2, fill_q)
+        merged = np.concatenate([y1[:1], merged])
+        mq = np.concatenate([q1[:1], mq])
+    elif align == "center":
+        set_bef = (window - 1) // 2
+        covered, cq = _merge_core_with_quality(
+            base_codes[set_bef : set_bef + len(y1)], y1, y2, q1, q2, fill_q
+        )
+        head = base_codes[:set_bef]
+        tail = base_codes[set_bef + min(len(y1), len(y2)) :]
+        merged = np.concatenate([head, covered, tail])
+        mq = np.concatenate(
+            [
+                np.full(len(head), fill_q, np.uint8),
+                cq,
+                np.full(len(tail), fill_q, np.uint8),
+            ]
+        )
+    else:
+        raise ValueError(f"unknown align mode {align!r}")
+
+    keep = merged != _DASH
+    merged, mq = merged[keep], mq[keep]
+    return (
+        merged.tobytes().decode("ascii"),
+        (mq + 33).astype(np.uint8).tobytes().decode("ascii"),
+    )
+
+
 def merge_revision(
     bases: str,
     y1_labels: np.ndarray,

@@ -1,28 +1,37 @@
-"""Streaming TPU inference engine — the production fast path.
+"""Streaming TPU inference engine — megabatched production fast path.
 
 Pipeline shape, designed around the measured link profile of the TPU
-attachment (h2d ~1 GB/s, d2h ~8 MB/s with ~30 ms sync RTT, dispatch ~0.3 ms):
+attachment (h2d ~200 MB/s, d2h ~25 MB/s, ~27 ms per host-blocking call,
+async dispatch ~0.4 ms, on-chip matmul ~200 TFLOP/s):
 
-  host thread(s):  fast5 decode (vectorized, ~5 ms/read)
-  upload:          raw int16 signal + 4 small per-base arrays (~150 KB/read)
-  device (1 jit):  preprocessing (signal/device_prep) -> sliding-window gather
-                   -> conv branch (XLA) -> fused dual-model Pallas kernel
-                   (ops/reviser_kernel) -> packed uint8 labels (y1*8+y2)
-  download:        ~N bytes/read, fetched in GROUPS via one device-side
-                   concatenate + a single async d2h per group
-  host:            vectorized revision merge + fasta write
+  host thread(s):   fast5 decode (vectorized, ~4 ms/read; CLI thread pool)
+  batch assembly:   MANY reads concatenated into ONE fixed-shape buffer
+                    (raw int16 signal tails + compact per-base arrays +
+                    per-read segment bounds) — fixed shape means exactly one
+                    compiled program; a scalar valid-window count lets the
+                    kernel skip unfilled blocks
+  upload:           one contiguous ~5 MB h2d per ~20 reads
+  device (1 jit):   segmented preprocessing (signal/device_prep: per-read
+                    MAD medians, windows, features) -> fused dual-model
+                    Pallas kernel (ops/reviser_kernel.stack_logits_full,
+                    per-base conv/projection hoisting) -> packed uint8
+                    labels (y1*8+y2) [+ phred qualities]
+  download:         one async d2h per batch on a fetch thread (~27 ms RTT is
+                    amortized over the whole batch and overlaps compute)
+  host:             vectorized per-read revision merge + fasta/fastq write
 
-Reads are padded to (signal-bucket, window-bucket) shapes so XLA compiles a
-handful of programs; a persistent compilation cache makes warmup a one-time
-cost across processes.
+The reference's only parallelism is a per-read multiprocessing.Pool
+(NanoReviser.py:203-223); here a single device pipeline sustains hundreds of
+reads/s and the host threads only decode and write.
 """
 
 from __future__ import annotations
 
+import collections
+import concurrent.futures as cf
 import functools
-import math
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -30,22 +39,23 @@ import numpy as np
 
 from ..io.fast5 import ReadData
 from ..models import load_keras_weights
-from ..models.fused import fold_inference_params, signal_branch_apply
+from ..models.fused import fold_inference_params
 from ..models.reviser import ReviserConfig
 from ..ops.reviser_kernel import (
     GP,
-    NB_MAX,
     pack_stack_weights,
     stack_logits_full,
     stack_weight_dicts,
 )
-from ..signal.device_prep import device_preprocess
+from ..signal.device_prep import device_preprocess_batch
 from ..signal.features import base_colors
-from .merge import merge_revision
+from ..signal.segmentation import mad_normalizers_int16
+from .merge import merge_revision, merge_revision_with_quality
 
 DEFAULT_BLOCK = 256
-WINDOW_BUCKET = 4096          # window-count granularity
-SIGNAL_BUCKET = 65536         # signal-length granularity
+DEFAULT_BATCH_WINDOWS = 131072      # windows per device batch (~20 reads)
+DEFAULT_SIG_RATIO = 16              # signal samples budget per base row
+DEFAULT_R_MAX = 48                  # max reads per batch
 
 
 def _enable_compile_cache():
@@ -61,11 +71,17 @@ def _enable_compile_cache():
 
 
 @dataclass
+class _Batch:
+    buf: np.ndarray
+    meta: list = field(default_factory=list)   # (fast5_name, ReadData, row_off)
+    rows: int = 0
+    sig: int = 0
+
+
+@dataclass
 class _Pending:
-    fast5_name: str
-    read: ReadData
-    out_dev: jax.Array          # [W_pad] uint8 packed labels
-    n_windows: int
+    meta: list
+    future: cf.Future                          # resolves to fetched np arrays
 
 
 class StreamingReviser:
@@ -78,9 +94,21 @@ class StreamingReviser:
         *,
         block: int = DEFAULT_BLOCK,
         align: str = "reference",
-        group_size: int = 16,
+        batch_windows: int | None = None,
+        sig_ratio: int = DEFAULT_SIG_RATIO,
+        r_max: int = DEFAULT_R_MAX,
+        emit_quality: bool = False,
+        max_in_flight: int = 3,
+        use_pallas: bool | None = None,
+        devices: list | None = None,
     ):
         _enable_compile_cache()
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if batch_windows is None:
+            # the jnp fallback (CPU tests / chipless hosts) gathers
+            # [W, T, 50] windows — keep its fixed batch small
+            batch_windows = DEFAULT_BATCH_WINDOWS if use_pallas else 16384
         p1, win1, nc1 = load_keras_weights(model1_path)
         p2, win2, nc2 = load_keras_weights(model2_path)
         if win1 != win2:
@@ -89,206 +117,394 @@ class StreamingReviser:
         self.n_classes = (nc1, nc2)
         self.block = block
         self.align = align
-        self.group_size = group_size
+        self.emit_quality = emit_quality
+        self.max_in_flight = max_in_flight
         self.cfg = ReviserConfig(window=win1, n_classes=nc1)
+
+        assert batch_windows % block == 0
+        self.w_max = batch_windows
+        self.n_rows = batch_windows + win1
+        self.s_max = sig_ratio * batch_windows
+        self.r_max = r_max
 
         f1 = fold_inference_params(p1)
         f2 = fold_inference_params(p2)
         # The fused Pallas kernel is TPU-only; other backends (CPU tests,
         # hosts without a chip) use the jnp reference stack on the same
         # BN-folded weights.
-        self._use_pallas = jax.default_backend() == "tpu"
+        self._use_pallas = use_pallas
+
+        # dp mesh over the local devices: each device revises its own batch
+        # of reads (the reference's only parallelism is one OS process per
+        # read, NanoReviser.py:203-223; here the unit is a ~20-read batch).
+        # Weights replicate, batch buffers shard on the leading axis.
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        if devices is None:
+            devices = jax.local_devices()
+        self.mesh = Mesh(np.asarray(devices), ("dp",))
+        self.n_dev = len(devices)
+        self._rep = NamedSharding(self.mesh, P())
+        self._buf_sharding = NamedSharding(self.mesh, P("dp"))
+
         ws = stack_weight_dicts(
             [pack_stack_weights(f1, win1), pack_stack_weights(f2, win2)]
         )
-        self._ws = jax.device_put(ws)
-        conv_keys = ("conv1", "bn_c1", "conv2", "bn_c2", "sig_dense")
-        self._conv1 = jax.device_put({k: f1[k] for k in conv_keys})
-        self._conv2 = jax.device_put({k: f2[k] for k in conv_keys})
-        lstm_keys = (
-            "read_rnn1", "read_rnn2", "total_rnn1", "total_rnn2",
-            "dense1", "dense2", "main_out", "feature", "final_out",
-        )
-        self._lstm1 = jax.device_put({k: f1[k] for k in lstm_keys})
-        self._lstm2 = jax.device_put({k: f2[k] for k in lstm_keys})
-        self._fns: dict = {}
+        self._ws = jax.device_put(ws, self._rep)
+        if not self._use_pallas:
+            lstm_keys = (
+                "read_rnn1", "read_rnn2", "total_rnn1", "total_rnn2",
+                "dense1", "dense2", "main_out", "feature", "final_out",
+            )
+            conv_keys = ("conv1", "bn_c1", "conv2", "bn_c2", "sig_dense")
+            self._jnp1 = jax.device_put(
+                {k: f1[k] for k in lstm_keys + conv_keys}, self._rep
+            )
+            self._jnp2 = jax.device_put(
+                {k: f2[k] for k in lstm_keys + conv_keys}, self._rep
+            )
+
+        self._layout = self._buffer_layout()
+
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover — older jax
+            from jax.experimental.shard_map import shard_map
+
+        def sharded_fn(ws, bufs):           # local shard: bufs [1, L]
+            out = self._device_fn(ws, bufs[0])
+            return jax.tree_util.tree_map(lambda x: x[None], out)
+
+        # check_vma must be off: pallas_call outputs carry no varying-manual-
+        # axes annotation, which the checker (jax >= 0.8) rejects outright
+        try:
+            smapped = shard_map(
+                sharded_fn, mesh=self.mesh,
+                in_specs=(P(), P("dp")), out_specs=P("dp"),
+                check_vma=False,
+            )
+        except TypeError:  # pragma: no cover — older jax spells it check_rep
+            smapped = shard_map(
+                sharded_fn, mesh=self.mesh,
+                in_specs=(P(), P("dp")), out_specs=P("dp"),
+                check_rep=False,
+            )
+        self._fn = jax.jit(smapped)
+        self._fetch_pool = cf.ThreadPoolExecutor(max_workers=1)
+
+    # ------------------------------------------------------- buffer layout
+
+    def _buffer_layout(self) -> dict:
+        """Byte offsets of the single per-batch upload buffer."""
+        o = {}
+        off = 0
+
+        def add(name, nbytes):
+            nonlocal off
+            o[name] = off
+            off += nbytes
+
+        rb = 4 * (self.r_max + 1)
+        add("sig", 2 * self.s_max)          # int16 signal tails
+        add("starts", 4 * self.n_rows)      # int32, tail-relative
+        add("mean", 2 * self.n_rows)        # f16 event means
+        add("std", 2 * self.n_rows)         # f16 event stdvs
+        add("color", self.n_rows)           # u8 base colors
+        add("sbounds", rb)                  # int32 signal segment bounds
+        add("bbounds", rb)                  # int32 base-row segment bounds
+        add("shift", 4 * self.r_max)        # f32 per-read median
+        add("scale", 4 * self.r_max)        # f32 per-read MAD
+        add("wvalid", 4)                    # int32 valid window count
+        o["total"] = off
+        return o
+
+    def _views(self, buf: np.ndarray) -> dict:
+        o = self._layout
+        rb = self.r_max + 1
+        return {
+            "sig": np.frombuffer(buf, np.int16, self.s_max, o["sig"]),
+            "starts": np.frombuffer(buf, np.int32, self.n_rows, o["starts"]),
+            "mean": np.frombuffer(buf, np.float16, self.n_rows, o["mean"]),
+            "std": np.frombuffer(buf, np.float16, self.n_rows, o["std"]),
+            "color": np.frombuffer(buf, np.uint8, self.n_rows, o["color"]),
+            "sbounds": np.frombuffer(buf, np.int32, rb, o["sbounds"]),
+            "bbounds": np.frombuffer(buf, np.int32, rb, o["bbounds"]),
+            "shift": np.frombuffer(buf, np.float32, self.r_max, o["shift"]),
+            "scale": np.frombuffer(buf, np.float32, self.r_max, o["scale"]),
+            "wvalid": np.frombuffer(buf, np.int32, 1, o["wvalid"]),
+        }
+
+    def _unpack(self, buf: jnp.ndarray) -> dict:
+        """Device-side view of the upload buffer (bitcasts, no copies)."""
+        from jax import lax
+
+        o = self._layout
+        rb = self.r_max + 1
+
+        def cut(name, n, width, dtype):
+            start = o[name]
+            raw = lax.dynamic_slice(buf, (start,), (n * width,))
+            if width == 1:
+                return raw
+            return lax.bitcast_convert_type(raw.reshape(n, width), dtype)
+
+        return {
+            "sig": cut("sig", self.s_max, 2, jnp.int16),
+            "starts": cut("starts", self.n_rows, 4, jnp.int32),
+            "mean": cut("mean", self.n_rows, 2, jnp.float16),
+            "std": cut("std", self.n_rows, 2, jnp.float16),
+            "color": cut("color", self.n_rows, 1, jnp.uint8),
+            "sbounds": cut("sbounds", rb, 4, jnp.int32),
+            "bbounds": cut("bbounds", rb, 4, jnp.int32),
+            "shift": cut("shift", self.r_max, 4, jnp.float32),
+            "scale": cut("scale", self.r_max, 4, jnp.float32),
+            "wvalid": cut("wvalid", 1, 4, jnp.int32),
+        }
 
     # ----------------------------------------------------------- device side
 
-    @staticmethod
-    def _unpack(buf, s_pad: int, n_pad: int):
-        """Unpack the single per-read upload buffer (see _pack for layout)."""
-        from jax import lax
-
-        def cut(off, nbytes):
-            return buf[off : off + nbytes], off + nbytes
-
-        hdr, off = cut(0, 8)
-        s_valid, n_valid = lax.bitcast_convert_type(hdr.reshape(2, 4), jnp.int32)
-        sig_b, off = cut(off, 2 * s_pad)
-        signal = lax.bitcast_convert_type(sig_b.reshape(s_pad, 2), jnp.int16)
-        st_b, off = cut(off, 4 * n_pad)
-        starts = lax.bitcast_convert_type(st_b.reshape(n_pad, 4), jnp.int32)
-        f32s = []
-        for _ in range(3):
-            f_b, off = cut(off, 4 * n_pad)
-            f32s.append(
-                lax.bitcast_convert_type(f_b.reshape(n_pad, 4), jnp.float32)
-            )
-        ab_mean, ab_std, colors = f32s
-        return signal, starts, ab_mean, ab_std, colors, s_valid, n_valid
-
-    def _device_fn(self, ws, conv1, conv2, buf, *, s_pad: int, n_pad: int):
+    def _device_fn(self, ws, buf):
         t = self.window
-        (signal, starts, ab_mean, ab_std, colors, s_valid, n_valid) = (
-            self._unpack(buf, s_pad, n_pad)
-        )
-        windows, feats = device_preprocess(
-            signal, starts, ab_mean, ab_std, colors, s_valid, n_valid
+        v = self._unpack(buf)
+        windows, feats = device_preprocess_batch(
+            v["sig"], v["starts"],
+            v["mean"], v["std"], v["color"].astype(jnp.float32),
+            v["sbounds"], v["bbounds"], v["shift"], v["scale"],
         )
         if self._use_pallas:
-            # v2 kernel: per-base arrays go straight in; the kernel DMAs
-            # each block's slice and runs the conv branch itself — no
-            # [W, T, 50] gather or separate conv jit (both measured slower
-            # than the entire fused kernel).
-            gp = GP
             sig_nb = jnp.pad(
-                windows, ((0, 0), (0, gp - windows.shape[1]))
+                windows, ((0, 0), (0, GP - windows.shape[1]))
             ).astype(jnp.bfloat16)
             feats_nb = jnp.pad(
-                feats, ((0, 0), (0, gp - feats.shape[1]))
+                feats, ((0, 0), (0, GP - feats.shape[1]))
             ).astype(jnp.bfloat16)
-            logits = stack_logits_full(
-                ws, sig_nb, feats_nb, t_len=t, block=self.block
-            )                                      # [2, W, NB_MAX]
+            out = stack_logits_full(
+                ws, sig_nb, feats_nb,
+                t_len=t, block=self.block,
+                want_probs=self.emit_quality,
+                w_valid=v["wvalid"][0],
+            )
+            if self.emit_quality:
+                logits, probs = out
+            else:
+                logits, probs = out, None
             l1, l2 = logits[0], logits[1]
         else:
-            from ..models.fused import lstm_stack_apply
+            from ..models.fused import lstm_stack_apply, signal_branch_apply
 
-            n_windows = n_pad - t
+            n_windows = self.w_max
             idx = jnp.arange(n_windows)[:, None] + jnp.arange(t)[None, :]
             sigw = windows[idx]                    # [W, T, 50]
             featw = feats[idx]                     # [W, T, 6]
             l1 = lstm_stack_apply(
-                self._lstm1, featw, signal_branch_apply(conv1, sigw, self.cfg)
+                self._jnp1, featw, signal_branch_apply(self._jnp1, sigw, self.cfg)
             )
             l2 = lstm_stack_apply(
-                self._lstm2, featw, signal_branch_apply(conv2, sigw, self.cfg)
+                self._jnp2, featw, signal_branch_apply(self._jnp2, sigw, self.cfg)
             )
+            if self.emit_quality:
+                probs = jnp.stack([
+                    jnp.max(jax.nn.softmax(l1.astype(jnp.float32), -1), -1),
+                    jnp.max(jax.nn.softmax(l2.astype(jnp.float32), -1), -1),
+                ])
+            else:
+                probs = None
+
         y1 = jnp.argmax(l1, axis=-1).astype(jnp.uint8)
         y2 = jnp.argmax(l2, axis=-1).astype(jnp.uint8)
-        return y1 * np.uint8(8) + y2
-
-    def _get_fn(self, s_pad: int, n_pad: int):
-        key = (s_pad, n_pad)
-        if key not in self._fns:
-            self._fns[key] = jax.jit(
-                functools.partial(self._device_fn, s_pad=s_pad, n_pad=n_pad)
-            )
-        return self._fns[key]
+        packed = y1 * np.uint8(8) + y2
+        if probs is None:
+            return packed
+        # phred-scaled confidence of the argmax class, capped at Q40
+        err = jnp.clip(1.0 - probs, 1e-4, 1.0)
+        q = jnp.clip(-10.0 * jnp.log10(err), 0.0, 93.0).astype(jnp.uint8)
+        return packed, q
 
     # ------------------------------------------------------------- host side
 
-    def _buckets(self, s_len: int, n_bases: int) -> tuple[int, int]:
-        t = self.window
-        n_windows = max(n_bases - t, 1)
-        w_pad = max(
-            WINDOW_BUCKET,
-            math.ceil(n_windows / WINDOW_BUCKET) * WINDOW_BUCKET,
-        )
-        s_pad = max(
-            SIGNAL_BUCKET, math.ceil(s_len / SIGNAL_BUCKET) * SIGNAL_BUCKET
-        )
-        return s_pad, w_pad + t
+    def _new_batch(self) -> _Batch:
+        return _Batch(buf=np.zeros(self._layout["total"], np.uint8))
 
-    @staticmethod
-    def _pack(read: ReadData, tail, s_pad: int, n_pad: int) -> np.ndarray:
-        """One contiguous upload buffer per read — a single h2d transfer.
-
-        The tunnel to the chip costs ~10 ms of round-trip latency PER
-        transfer, dwarfing the ~200 KB payload; packing the header + five
-        arrays into one uint8 buffer cuts 6-7 transfers to 1 (measured ~2x
-        end-to-end read throughput). Layout (little-endian):
-          [0:8)   int32 s_valid, int32 n_valid
-          [8:...) int16 signal[s_pad] | int32 starts[n_pad]
-                  | f32 ab_mean | f32 ab_std | f32 colors  (each [n_pad])
-        """
+    def _add_read(self, batch: _Batch, name: str, read: ReadData) -> bool:
+        """Try to append a read to the batch; False when it does not fit."""
         n = read.n_bases
-        buf = np.zeros(8 + 2 * s_pad + 16 * n_pad, np.uint8)
-        np.frombuffer(buf, np.int32, 2, 0)[:] = (len(tail), n)
-        off = 8
-        sig = np.frombuffer(buf, np.int16, s_pad, off)
-        sig[: len(tail)] = tail
-        off += 2 * s_pad
-        st = np.frombuffer(buf, np.int32, n_pad, off)
-        st[:n] = read.starts
-        st[n:] = read.starts[-1]
-        off += 4 * n_pad
-        for arr in (read.ab_mean, read.ab_std, base_colors(read.bases)):
-            dst = np.frombuffer(buf, np.float32, n_pad, off)
-            dst[:n] = arr
-            off += 4 * n_pad
-        return buf
-
-    def submit(self, fast5_name: str, read: ReadData) -> _Pending:
-        t = self.window
+        tail_len = len(read.signal) - read.read_start_rel_to_raw
+        if (
+            batch.rows + n > self.n_rows
+            or batch.sig + tail_len > self.s_max
+            or len(batch.meta) >= self.r_max
+        ):
+            return False
+        vw = self._views(batch.buf)
+        r0, s0 = batch.rows, batch.sig
         tail = read.signal[read.read_start_rel_to_raw :]
-        s_pad, n_pad = self._buckets(len(tail), read.n_bases)
-        buf = self._pack(read, tail, s_pad, n_pad)
-        fn = self._get_fn(s_pad, n_pad)
-        out = fn(self._ws, self._conv1, self._conv2, buf)
-        return _Pending(fast5_name, read, out, max(read.n_bases - t, 0))
+        vw["sig"][s0 : s0 + tail_len] = tail
+        vw["starts"][r0 : r0 + n] = read.starts
+        vw["mean"][r0 : r0 + n] = read.ab_mean.astype(np.float16)
+        vw["std"][r0 : r0 + n] = read.ab_std.astype(np.float16)
+        vw["color"][r0 : r0 + n] = base_colors(read.bases).astype(np.uint8)
+        k = len(batch.meta)
+        vw["sbounds"][k] = s0
+        vw["bbounds"][k] = r0
+        shift, scale = read.mad if read.mad else mad_normalizers_int16(
+            np.ascontiguousarray(tail)
+        )
+        vw["shift"][k] = shift
+        vw["scale"][k] = scale
+        batch.meta.append((name, read, r0))
+        batch.rows = r0 + n
+        batch.sig = s0 + tail_len
+        return True
 
-    def _finish(self, group: list[_Pending]):
-        if not group:
-            return
-        cat = np.asarray(jnp.concatenate([p.out_dev for p in group]))
-        off = 0
-        for p in group:
-            packed = cat[off : off + p.n_windows]
-            off += p.out_dev.shape[0]
-            y1 = (packed >> 3).astype(np.int32)
-            y2 = (packed & 7).astype(np.int32)
-            seq = (
-                merge_revision(
-                    p.read.bases, y1, y2, align=self.align, window=self.window
-                )
-                if p.n_windows
-                else p.read.bases
-            )
-            yield p.fast5_name, p.read, seq
+    def _finalize(self, batch: _Batch) -> None:
+        vw = self._views(batch.buf)
+        k = len(batch.meta)
+        vw["sbounds"][k:] = batch.sig
+        vw["bbounds"][k:] = batch.rows
+        vw["shift"][k:] = 1.0                # pad reads: no div-by-zero
+        vw["scale"][k:] = 1.0
+        w_needed = max(batch.rows - self.window, 0)
+        w_valid = min(-(-w_needed // self.block) * self.block, self.w_max)
+        vw["wvalid"][0] = w_valid
+        # repeat-last padding keeps starts monotone inside the pad segment
+        if batch.rows and batch.rows < self.n_rows:
+            vw["starts"][batch.rows :] = vw["starts"][batch.rows - 1]
+
+    def _submit_group(self, batches: list[_Batch]) -> _Pending:
+        """One sharded dispatch: batch slot d runs on mesh device d."""
+        bufs = np.zeros((self.n_dev, self._layout["total"]), np.uint8)
+        metas = []
+        for i, b in enumerate(batches):
+            self._finalize(b)
+            bufs[i] = b.buf
+            metas.append(b.meta)
+        out = self._fn(self._ws, jax.device_put(bufs, self._buf_sharding))
+        leaves = jax.tree_util.tree_leaves(out)
+
+        def fetch():
+            for leaf in leaves:
+                leaf.copy_to_host_async()
+            return [np.asarray(leaf) for leaf in leaves]
+
+        return _Pending(metas, self._fetch_pool.submit(fetch))
+
+    def _finish(self, pending: _Pending):
+        host = pending.future.result()
+        packed_all = host[0]                           # [D, W]
+        q_all = host[1] if len(host) > 1 else None     # [D, 2, W]
+        t = self.window
+        for slot, meta in enumerate(pending.meta):
+            packed = packed_all[slot]
+            q = q_all[slot] if q_all is not None else None
+            for name, read, r0 in meta:
+                wr = max(read.n_bases - t, 0)
+                if wr == 0:
+                    yield name, read, read.bases, None
+                    continue
+                pk = packed[r0 : r0 + wr]
+                y1 = (pk >> 3).astype(np.int32)
+                y2 = (pk & 7).astype(np.int32)
+                if q is not None:
+                    seq, qual = merge_revision_with_quality(
+                        read.bases, y1, y2,
+                        q[0, r0 : r0 + wr], q[1, r0 : r0 + wr],
+                        align=self.align, window=t,
+                    )
+                    yield name, read, seq, qual
+                else:
+                    seq = merge_revision(
+                        read.bases, y1, y2, align=self.align, window=t
+                    )
+                    yield name, read, seq, None
 
     def revise_stream(self, items, errors: list | None = None):
-        """items: iterable of (fast5_name, ReadData). Yields (name, read, seq).
+        """items: iterable of (fast5_name, ReadData).
 
-        Two groups are kept in flight so the synchronous group fetch overlaps
-        with the next group's device compute.
+        Yields (name, read, revised_seq, qual_or_None) in input order.
+
+        Reads are packed into fixed-shape device batches; up to
+        ``max_in_flight`` batches overlap decode, h2d, compute, and the
+        d2h fetch (which runs on a dedicated thread).
 
         Per-read failures degrade to the original bases (the reference's
         fallback contract, NanoReviser.py:146-154); pass ``errors`` to also
         collect (name, exception) pairs.
         """
-        groups: list[list[_Pending]] = []
-        current: list[_Pending] = []
-        for name, read in items:
+        pending: collections.deque[_Pending] = collections.deque()
+        ready: list[_Batch] = []
+        batch = self._new_batch()
+
+        def submit_ready(force: bool):
+            if not ready or (len(ready) < self.n_dev and not force):
+                return
+            group, ready[:] = ready[:], []
             try:
-                current.append(self.submit(name, read))
-            except Exception as exc:  # noqa: BLE001 — per-read degradation
+                pending.append(self._submit_group(group))
+            except Exception as exc:  # noqa: BLE001 — whole-group degradation
+                metas = [b.meta for b in group]
+                for meta in metas:
+                    for name, read, _ in meta:
+                        if errors is not None:
+                            errors.append((name, exc))
+                done = cf.Future()
+                done.set_result(None)
+                p = _Pending(metas, done)
+                p.degraded = exc
+                pending.append(p)
+
+        def flush(force: bool = False):
+            nonlocal batch
+            if batch.meta:
+                ready.append(batch)
+                batch = self._new_batch()
+            submit_ready(force)
+
+        def drain(p: _Pending):
+            if getattr(p, "degraded", None) is not None:
+                for meta in p.meta:
+                    for name, read, _ in meta:
+                        yield name, read, read.bases, None
+                return
+            try:
+                yield from self._finish(p)
+            except Exception as exc:  # noqa: BLE001
+                for meta in p.meta:
+                    for name, read, _ in meta:
+                        if errors is not None:
+                            errors.append((name, exc))
+                        yield name, read, read.bases, None
+
+        for name, read in items:
+            if (
+                read.n_bases < 2
+                or read.read_start_rel_to_raw >= len(read.signal)
+            ):
+                exc = ValueError(
+                    f"read has too few bases ({read.n_bases}) or no signal"
+                )
                 if errors is not None:
                     errors.append((name, exc))
-                yield name, read, read.bases
+                yield name, read, read.bases, None
                 continue
-            if len(current) >= self.group_size:
-                groups.append(current)
-                current = []
-                if len(groups) >= 2:
-                    yield from self._finish(groups.pop(0))
-        if current:
-            groups.append(current)
-        for g in groups:
-            yield from self._finish(g)
+            if not self._add_read(batch, name, read):
+                flush()
+                if not self._add_read(batch, name, read):
+                    # single read exceeds the batch budget — degrade
+                    exc = ValueError(
+                        f"read too large for batch: {read.n_bases} bases, "
+                        f"{len(read.signal)} samples"
+                    )
+                    if errors is not None:
+                        errors.append((name, exc))
+                    yield name, read, read.bases, None
+                    continue
+            if len(pending) > self.max_in_flight:
+                yield from drain(pending.popleft())
+        flush(force=True)
+        while pending:
+            yield from drain(pending.popleft())
 
     def revise_read(self, read: ReadData) -> str:
-        for _, _, seq in self._finish([self.submit("", read)]):
+        for _, _, seq, _ in self.revise_stream([("", read)]):
             return seq
         return read.bases

@@ -55,6 +55,7 @@ class ReadData:
     signal: np.ndarray                  # int16 [S] full raw signal
     ab_mean: np.ndarray                 # float32 [N] event means
     ab_std: np.ndarray                  # float32 [N] event stdvs
+    mad: tuple | None = None            # optional precomputed (shift, scale)
 
     @property
     def n_bases(self) -> int:

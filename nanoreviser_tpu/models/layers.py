@@ -58,7 +58,9 @@ def lstm(params: dict, x: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    h0 = jnp.zeros((batch, hidden), dtype=x_proj.dtype)
+    # derive the initial carry from x_proj (not a fresh zeros) so it inherits
+    # any varying-manual-axes when this runs inside shard_map
+    h0 = jnp.zeros((batch, hidden), dtype=x_proj.dtype) + 0.0 * x_proj[:, 0, :hidden]
     (_, _), hs = jax.lax.scan(step, (h0, h0), jnp.swapaxes(x_proj, 0, 1))
     out = jnp.swapaxes(hs, 0, 1)
     if reverse:

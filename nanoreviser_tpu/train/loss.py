@@ -28,17 +28,25 @@ def reviser_loss(
     class_weights: jnp.ndarray,    # [C]
     center_loss_weight: float = 0.4,
     center_target_weight: float | None = None,
+    sample_weight: jnp.ndarray | None = None,   # [B]; pad rows weigh 0
 ) -> tuple[jnp.ndarray, dict]:
     p = jnp.clip(probs, KERAS_EPS, 1.0 - KERAS_EPS)
     ce = -jnp.log(jnp.take_along_axis(p, y[:, None], axis=1))[:, 0]
     w = class_weights[y]
-    ce_loss = jnp.mean(ce * w)
-
-    l2 = jnp.sum((feature - centers[y]) ** 2, axis=1)
     if center_target_weight is None:
         center_target_weight = class_weights[0]
-    center_loss = jnp.mean(l2 * center_target_weight)
+    l2 = jnp.sum((feature - centers[y]) ** 2, axis=1)
+    hit = (jnp.argmax(probs, axis=-1) == y).astype(jnp.float32)
+
+    if sample_weight is None:
+        ce_loss = jnp.mean(ce * w)
+        center_loss = jnp.mean(l2 * center_target_weight)
+        acc = jnp.mean(hit)
+    else:
+        denom = jnp.maximum(jnp.sum(sample_weight), 1.0)
+        ce_loss = jnp.sum(ce * w * sample_weight) / denom
+        center_loss = jnp.sum(l2 * center_target_weight * sample_weight) / denom
+        acc = jnp.sum(hit * sample_weight) / denom
 
     total = ce_loss + center_loss_weight * center_loss
-    acc = jnp.mean((jnp.argmax(probs, axis=-1) == y).astype(jnp.float32))
     return total, {"ce_loss": ce_loss, "center_loss": center_loss, "accuracy": acc}

@@ -74,6 +74,7 @@ def make_train_step(
         loss, metrics = reviser_loss(
             probs, feature, params["centers"], batch["y"],
             class_weights, center_loss_weight,
+            sample_weight=batch.get("weight"),
         )
         return loss, (metrics, stats)
 
@@ -101,7 +102,9 @@ def make_sharded_train_step(cfg: ReviserConfig, mesh, **kwargs):
     train_step, optimizer = make_train_step(cfg, **kwargs)
     rep = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("dp"))
-    batch_shardings = {"signal": shard, "feats": shard, "y": shard}
+    batch_shardings = {
+        "signal": shard, "feats": shard, "y": shard, "weight": shard,
+    }
     jitted = jax.jit(
         train_step,
         in_shardings=(rep, rep, batch_shardings, rep),

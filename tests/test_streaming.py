@@ -1,4 +1,11 @@
-"""StreamingReviser (jnp fallback on CPU) agrees with the chunked engine."""
+"""StreamingReviser (jnp fallback on CPU): batching semantics + host oracle.
+
+The CPU fallback runs the SAME segmented device preprocessing
+(device_preprocess_batch) and BN-folded model math as the TPU path, minus
+the Pallas kernel — so these tests pin the whole batched pipeline against
+an independent single-read host-side oracle (exact host segmentation +
+jnp forward + merge).
+"""
 
 import dataclasses
 
@@ -8,47 +15,172 @@ import pytest
 from nanoreviser_tpu.io import get_read_data
 
 
-@pytest.fixture(scope="module")
-def truncated_read(unitest_fast5_files):
-    rd = get_read_data(str(unitest_fast5_files[0]))
-    n = 200
+def _truncate(rd, n):
+    """First n bases with a consistently truncated signal tail and the
+    decoder's 3/5 last-duration rule re-applied."""
+    starts = rd.starts[:n]
+    last_dur = 3.0 if (starts[-1] - starts[-2]) < 5 else 5.0
+    lengths = np.concatenate([np.diff(starts).astype(np.float64), [last_dur]])
+    sig_end = rd.read_start_rel_to_raw + int(starts[-1] + last_dur) + 40
     return dataclasses.replace(
         rd,
-        starts=rd.starts[:n],
-        lengths=rd.lengths[:n],
+        starts=starts,
+        lengths=lengths,
         bases=rd.bases[:n],
         ab_mean=rd.ab_mean[:n],
         ab_std=rd.ab_std[:n],
+        signal=rd.signal[:sig_end],
     )
 
 
-@pytest.mark.slow
-def test_streaming_matches_engine(ecoli_model_paths, truncated_read):
-    from nanoreviser_tpu.infer import ReviserEngine, StreamingReviser
-
-    m1, m2 = ecoli_model_paths
-    engine = ReviserEngine(str(m1), str(m2), chunk=64)
-    streaming = StreamingReviser(str(m1), str(m2))
-    assert not streaming._use_pallas  # CPU test exercises the jnp fallback
-
-    seq_e = engine.revise_read(truncated_read)
-    seq_s = streaming.revise_read(truncated_read)
-    assert seq_e == seq_s
+@pytest.fixture(scope="module")
+def truncated_read(unitest_fast5_files):
+    return _truncate(get_read_data(str(unitest_fast5_files[0])), 200)
 
 
-@pytest.mark.slow
-def test_streaming_error_degrades_to_passthrough(ecoli_model_paths, truncated_read):
+@pytest.fixture(scope="module")
+def small_streaming(ecoli_model_paths):
+    import jax
+
     from nanoreviser_tpu.infer import StreamingReviser
 
     m1, m2 = ecoli_model_paths
-    streaming = StreamingReviser(str(m1), str(m2))
+    eng = StreamingReviser(
+        str(m1), str(m2), batch_windows=1024, sig_ratio=24, r_max=8,
+        devices=jax.devices()[:1],
+    )
+    assert not eng._use_pallas  # CPU test exercises the jnp fallback
+    return eng
+
+
+def _host_oracle_seq(engine, read):
+    """Independent per-read path: exact host segmentation -> jnp forward."""
+    import jax.numpy as jnp
+
+    from nanoreviser_tpu.infer.merge import merge_revision
+    from nanoreviser_tpu.models.fused import (
+        lstm_stack_apply,
+        signal_branch_apply,
+    )
+    from nanoreviser_tpu.signal.features import assemble_features
+    from nanoreviser_tpu.signal.segmentation import segment_signal
+
+    t = engine.window
+    tail = read.signal[read.read_start_rel_to_raw :]
+    last_dur = int(read.lengths[-1])
+    seg = segment_signal(tail, read.starts, last_dur)
+    durations = np.concatenate([np.diff(read.starts), [last_dur]])
+    feats = assemble_features(
+        read.bases, seg.event_mean, seg.event_std, durations,
+        read.ab_mean, read.ab_std, seg.shift, seg.scale,
+    )
+    n_windows = read.n_bases - t
+    idx = np.arange(n_windows)[:, None] + np.arange(t)[None, :]
+    sigw = jnp.asarray(seg.windows[idx])
+    featw = jnp.asarray(feats[idx])
+    l1 = lstm_stack_apply(
+        engine._jnp1, featw, signal_branch_apply(engine._jnp1, sigw, engine.cfg)
+    )
+    l2 = lstm_stack_apply(
+        engine._jnp2, featw, signal_branch_apply(engine._jnp2, sigw, engine.cfg)
+    )
+    y1 = np.asarray(jnp.argmax(l1, -1))
+    y2 = np.asarray(jnp.argmax(l2, -1))
+    return merge_revision(read.bases, y1, y2, align=engine.align, window=t)
+
+
+@pytest.mark.slow
+def test_streaming_matches_host_oracle(small_streaming, truncated_read):
+    seq = small_streaming.revise_read(truncated_read)
+    expect = _host_oracle_seq(small_streaming, truncated_read)
+    assert seq == expect
+    assert seq != truncated_read.bases  # the model actually edits something
+
+
+@pytest.mark.slow
+def test_multi_read_batch_matches_single(
+    small_streaming, unitest_fast5_files, truncated_read
+):
+    """Several reads packed into one buffer == each read alone."""
+    reads = [
+        ("a", _truncate(get_read_data(str(unitest_fast5_files[0])), 180)),
+        ("b", _truncate(get_read_data(str(unitest_fast5_files[1])), 150)),
+        ("c", truncated_read),
+    ]
+    batched = {
+        name: seq
+        for name, _, seq, _ in small_streaming.revise_stream(iter(reads))
+    }
+    for name, rd in reads:
+        assert batched[name] == small_streaming.revise_read(rd), name
+
+
+@pytest.mark.slow
+def test_dp_sharded_batches_match_single_device(
+    ecoli_model_paths, small_streaming, unitest_fast5_files, truncated_read
+):
+    """Two mesh devices, each revising its own batch slot: results must
+    equal the 1-device engine, and the dispatch must actually shard."""
+    import jax
+
+    from nanoreviser_tpu.infer import StreamingReviser
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 (virtual) devices")
+    m1, m2 = ecoli_model_paths
+    eng = StreamingReviser(
+        str(m1), str(m2), batch_windows=1024, sig_ratio=24, r_max=2,
+        devices=jax.devices()[:2],
+    )
+    assert eng.n_dev == 2
+    # r_max=2 closes a batch every 2 reads -> 2 batch slots in one dispatch
+    reads = [
+        ("a", _truncate(get_read_data(str(unitest_fast5_files[0])), 180)),
+        ("b", _truncate(get_read_data(str(unitest_fast5_files[1])), 150)),
+        ("c", truncated_read),
+        ("d", _truncate(get_read_data(str(unitest_fast5_files[2])), 160)),
+    ]
+    errors = []
+    got = {n: s for n, _, s, _ in eng.revise_stream(iter(reads), errors=errors)}
+    assert not errors
+    for name, rd in reads:
+        assert got[name] == small_streaming.revise_read(rd), name
+    # the sharded buffer really spans both devices
+    bufs = np.zeros((2, eng._layout["total"]), np.uint8)
+    sharded = jax.device_put(bufs, eng._buf_sharding)
+    assert len({s.device for s in sharded.addressable_shards}) == 2
+
+
+@pytest.mark.slow
+def test_streaming_emits_qualities(ecoli_model_paths, truncated_read):
+    import jax
+
+    from nanoreviser_tpu.infer import StreamingReviser
+
+    m1, m2 = ecoli_model_paths
+    eng = StreamingReviser(
+        str(m1), str(m2), batch_windows=1024, sig_ratio=24, r_max=8,
+        emit_quality=True, devices=jax.devices()[:1],
+    )
+    [(name, _, seq, qual)] = list(eng.revise_stream([("r", truncated_read)]))
+    assert qual is not None and len(qual) == len(seq)
+    # phred-33 printable, capped at Q93
+    assert all(33 <= ord(c) <= 126 for c in qual)
+    # confident calls should dominate on real data
+    q = np.frombuffer(qual.encode(), np.uint8) - 33
+    assert np.median(q) > 10
+
+
+@pytest.mark.slow
+def test_streaming_error_degrades_to_passthrough(small_streaming, truncated_read):
     bad = dataclasses.replace(truncated_read, starts=np.zeros(0, np.int64))
     errors = []
     out = list(
-        streaming.revise_stream(
+        small_streaming.revise_stream(
             [("bad.fast5", bad), ("ok.fast5", truncated_read)], errors=errors
         )
     )
-    assert [name for name, _, _ in out] == ["bad.fast5", "ok.fast5"]
+    assert [name for name, _, _, _ in out] == ["bad.fast5", "ok.fast5"]
     assert out[0][2] == bad.bases          # degraded to original bases
     assert len(errors) == 1 and errors[0][0] == "bad.fast5"
+    assert out[1][2] == _host_oracle_seq(small_streaming, truncated_read)
