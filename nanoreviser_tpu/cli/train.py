@@ -162,9 +162,7 @@ def main(argv=None) -> int:
             raise RuntimeError("no reads could be labeled")
         check_path(args.train_model_dir)
 
-        x_train, signal_x_train, y_train, y_train2 = load_training_corpus(
-            args.train_input_dir, args.window_size
-        )
+        corpus = load_training_corpus(args.train_input_dir, args.window_size)
 
         # dp mesh over every local device: batches shard on "dp", params
         # replicate, XLA inserts the gradient psum (SURVEY.md §2.3). On a
@@ -181,9 +179,9 @@ def main(argv=None) -> int:
 
         jobs = []
         if args.model_type in ("both", "model1"):
-            jobs.append(("model1", y_train, 6, args.model1_train_dir))
+            jobs.append(("model1", corpus.y, 6, args.model1_train_dir))
         if args.model_type in ("both", "model2"):
-            jobs.append(("model2", y_train2, 5, args.model2_train_dir))
+            jobs.append(("model2", corpus.y2, 5, args.model2_train_dir))
 
         for tag, y, n_classes, init_dir in jobs:
             t0 = time.time()
@@ -197,7 +195,7 @@ def main(argv=None) -> int:
                 args.species, args.window_size, args.epochs, tag,
             )
             params, history = train_model(
-                x_train, signal_x_train, y,
+                corpus.feats, corpus.signal, y,
                 n_classes=n_classes,
                 window=args.window_size,
                 epochs=args.epochs,

@@ -156,14 +156,43 @@ def save_read_npz(labeled: LabeledRead, save_name: str) -> None:
     )
 
 
+@dataclass
+class TrainingCorpus:
+    """Streaming windowed corpus: base arrays, windows gathered per batch.
+
+    The reference materializes every length-T window of the concatenated
+    corpus up front (nanorevtrainutils.py:198-209) — a ~T x RAM blowup of the
+    [N, 50] signal data (SURVEY.md §7 hard-part 6). Here only the base
+    arrays are kept; window w is rows [w, w+T) and BatchIterator gathers it
+    at batch time. Sample ORDER and VALUES are identical to the reference's
+    materialized tensors (windows straddle read boundaries; targets are the
+    window centers, y2 pre-shifted by -1).
+    """
+
+    feats: np.ndarray      # [N, 6] f32 per-base features
+    signal: np.ndarray     # [N, 50] f32 per-base signal windows
+    y: np.ndarray          # [W, 1] i32 model1 targets (window centers)
+    y2: np.ndarray         # [W, 1] i32 model2 targets (refvals2 - 1)
+    window: int
+
+    @property
+    def n_windows(self) -> int:
+        return len(self.y)
+
+    def materialize(self):
+        """The reference's full [W, T, *] tensors (tests / tiny corpora)."""
+        w = np.arange(self.n_windows)[:, None] + np.arange(self.window)[None, :]
+        return self.feats[w], self.signal[w], self.y, self.y2
+
+
 def load_training_corpus(
     train_input_dir: str, window_size: int = 13
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Windowed training tensors, exactly as get_trainning_input builds them.
+) -> TrainingCorpus:
+    """Streaming training corpus, sample-identical to get_trainning_input.
 
-    Returns (x_train [W, T, 6], signal_x_train [W, T, 50], y [W, 1],
-    y2 [W, 1]). Windows straddle read boundaries because all reads are
-    concatenated first (reference quirk, :198-209).
+    Loads every per-read .npz, concatenates base arrays (windows straddle
+    read boundaries — reference quirk, :198-209), and derives the center
+    targets — WITHOUT materializing the [W, T, 50] window tensor.
     """
     xs, signals, ys, y2s = [], [], [], []
     for fn in sorted(os.listdir(train_input_dir)):
@@ -202,20 +231,26 @@ def load_training_corpus(
     n_total = len(x)
     if n_total <= 2 * window_size:
         raise RuntimeError("！！！[Error] corpus smaller than two windows.")
-    n_windows = n_total - window_size
-    win_idx = np.arange(n_windows)[:, None] + np.arange(window_size)[None, :]
-    x_train = x[win_idx]
-    signal_x_train = signal_x[win_idx]
     set_bef = (window_size - 1) // 2
     set_aft = (window_size + 1) // 2
     y_train = y[set_bef:-set_aft].reshape(-1, 1)
     y_train2 = (y2[set_bef:-set_aft] - 1).reshape(-1, 1)
-    return x_train, signal_x_train, y_train, y_train2
+    return TrainingCorpus(
+        feats=x, signal=signal_x, y=y_train, y2=y_train2, window=window_size
+    )
 
 
 class BatchIterator:
     """Keras-fit-like batching: validation_split from the END (pre-shuffle),
-    per-epoch shuffling of the train portion, fixed-shape padded batches."""
+    per-epoch shuffling of the train portion, fixed-shape padded batches.
+
+    Two input layouts:
+    * pre-windowed: x [W, T, 6] / signal_x [W, T, 50] (tests, tiny corpora);
+    * streaming (window=T given, x.ndim == 2): x [N, 6] / signal_x [N, 50]
+      base arrays — window w is rows [w, w+T), gathered per batch. Identical
+      samples in identical order, without the reference's ~T x RAM blowup
+      (nanorevtrainutils.py:198-209; SURVEY.md §7 hard-part 6).
+    """
 
     def __init__(
         self,
@@ -225,46 +260,53 @@ class BatchIterator:
         batch_size: int,
         validation_split: float = 0.0,
         seed: int = 0,
+        window: int | None = None,
     ):
-        n = len(x)
+        self.streaming = x.ndim == 2
+        if self.streaming and not window:
+            raise ValueError("streaming base arrays require window=")
+        n = len(y)
         n_val = int(n * validation_split)
+        self.n = n
         self.n_train = n - n_val
         self.x, self.signal_x, self.y = x, signal_x, y
         self.batch_size = batch_size
+        self.window = window
         self.rng = np.random.default_rng(seed)
+
+    def _gather(self, idx: np.ndarray, weight: np.ndarray) -> dict:
+        if self.streaming:
+            rows = idx[:, None] + np.arange(self.window)[None, :]
+            signal, feats = self.signal_x[rows], self.x[rows]
+        else:
+            signal, feats = self.signal_x[idx], self.x[idx]
+        return {
+            "signal": signal,
+            "feats": feats,
+            "y": self.y[idx, 0],
+            "weight": weight,
+        }
+
+    def _padded(self, idx: np.ndarray):
+        pad = self.batch_size - len(idx)
+        weight = np.ones(self.batch_size, np.float32)
+        if pad:
+            idx = np.concatenate([idx, np.zeros(pad, np.int64)])
+            weight[len(idx) - pad :] = 0.0
+        return idx, weight
 
     def epoch(self):
         order = self.rng.permutation(self.n_train)
         bs = self.batch_size
         for i in range(0, self.n_train, bs):
-            idx = order[i : i + bs]
-            pad = bs - len(idx)
-            weight = np.ones(bs, np.float32)
-            if pad:
-                idx = np.concatenate([idx, np.zeros(pad, np.int64)])
-                weight[len(idx) - pad :] = 0.0
-            yield {
-                "signal": self.signal_x[idx],
-                "feats": self.x[idx],
-                "y": self.y[idx, 0],
-                "weight": weight,
-            }
+            idx, weight = self._padded(order[i : i + bs])
+            yield self._gather(idx, weight)
 
     def validation(self):
         bs = self.batch_size
-        for i in range(self.n_train, len(self.x), bs):
-            idx = np.arange(i, min(i + bs, len(self.x)))
-            pad = bs - len(idx)
-            weight = np.ones(bs, np.float32)
-            if pad:
-                idx = np.concatenate([idx, np.zeros(pad, np.int64)])
-                weight[len(idx) - pad :] = 0.0
-            yield {
-                "signal": self.signal_x[idx],
-                "feats": self.x[idx],
-                "y": self.y[idx, 0],
-                "weight": weight,
-            }
+        for i in range(self.n_train, self.n, bs):
+            idx, weight = self._padded(np.arange(i, min(i + bs, self.n)))
+            yield self._gather(idx, weight)
 
     @property
     def steps_per_epoch(self) -> int:

@@ -61,7 +61,12 @@ def train_model(
     verbose: bool = True,
     mesh=None,
 ) -> tuple[dict, dict]:
-    """Train one reviser model; returns (params, history dict of lists)."""
+    """Train one reviser model; returns (params, history dict of lists).
+
+    x_train/signal_x_train are either pre-windowed [W, T, *] tensors or
+    streaming base arrays [N, *] (windows gathered per batch; see
+    BatchIterator) — y_train is [W, 1] window-center targets either way.
+    """
     cfg = ReviserConfig(window=window, n_classes=n_classes)
     rng = jax.random.PRNGKey(seed)
     params = init_params
@@ -113,7 +118,8 @@ def train_model(
     eval_step = jax.jit(eval_loss)
 
     it = BatchIterator(
-        x_train, signal_x_train, y_train, batch_size, validation_split, seed
+        x_train, signal_x_train, y_train, batch_size, validation_split, seed,
+        window=window,
     )
     history: dict[str, list] = {
         "loss": [], "accuracy": [], "val_loss": [], "val_accuracy": [],
