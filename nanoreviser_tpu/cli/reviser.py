@@ -67,6 +67,10 @@ def get_args(argv=None):
         "--revise_mode", default="auto", choices=["auto", "model", "passthrough"]
     )
     p.add_argument("--align", default="reference", choices=["reference", "center"])
+    # multi-host: N processes (one per host), deterministic file sharding
+    p.add_argument("--coordinator_address", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("-v", "--virsion", action="store_true", help="version")
     args = p.parse_args(argv)
     if args.virsion:
@@ -92,8 +96,25 @@ def _resolve_models(args) -> tuple[str, str]:
     return args.model1_predict_dir, args.model2_predict_dir
 
 
+def _honor_jax_platforms_env():
+    """The base environment registers the TPU plugin in a way that wins over
+    the JAX_PLATFORMS env var; jax.config is the authoritative override."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def main(argv=None) -> int:
     args = get_args(argv)
+    _honor_jax_platforms_env()
+    # multi-host: must run before any other jax backend use
+    from ..dist import initialize as dist_init, process_info, shard_files
+
+    is_dist = dist_init(args.coordinator_address, args.num_processes,
+                        args.process_id)
+    rank, world = process_info() if is_dist else (0, 1)
     from ..io import (
         extract_fastq,
         get_read_data,
@@ -127,6 +148,9 @@ def main(argv=None) -> int:
         )
 
     fast5_fns = list_fast5_files(args.fast5_base_dir)
+    if world > 1:
+        fast5_fns = shard_files(fast5_fns, rank, world)
+        print(f"[p:::] host {rank}/{world}: {len(fast5_fns)} reads")
     start_time = time.time()
     failed: list[tuple[str, str]] = []
 

@@ -49,6 +49,10 @@ def get_args(argv=None):
     p.add_argument("--model1_train_dir", default="")
     p.add_argument("--model2_train_dir", default="")
     p.add_argument("--aligner", default="sw", choices=["sw", "graphmap"])
+    # multi-host DP training: one process per host, global dp mesh
+    p.add_argument("--coordinator_address", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--test_mode", action="store_true", default=False)
     p.add_argument("-v", "--virsion", action="store_true")
@@ -139,6 +143,12 @@ def _preprocess(args, logger=None) -> int:
 
 def main(argv=None) -> int:
     args = get_args(argv)
+    from .reviser import _honor_jax_platforms_env
+
+    _honor_jax_platforms_env()
+    from ..dist import initialize as dist_init
+
+    dist_init(args.coordinator_address, args.num_processes, args.process_id)
     from ..models.export_keras import save_keras_weights
     from ..train.data import load_training_corpus
     from ..train.loop import save_params_npz, train_model

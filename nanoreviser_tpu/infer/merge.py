@@ -34,13 +34,16 @@ _DASH = ord("-")
 _D = ord("D")
 
 
+_LABEL_CODES = np.frombuffer("D-CTGA".encode("ascii"), dtype=np.uint8)
+assert (np.char.encode(LABEL_TO_BASE).view(np.uint8) == _LABEL_CODES).all()
+
+
 def labels_to_bases(labels: np.ndarray, model2: bool = False) -> np.ndarray:
     """Class indices -> base-char codes (uint8). model2 classes are label-1."""
     labels = np.asarray(labels)
     if model2:
         labels = labels + 1
-    chars = LABEL_TO_BASE[np.clip(labels, 0, 5)]
-    return np.frombuffer("".join(chars.tolist()).encode(), dtype=np.uint8).copy()
+    return _LABEL_CODES[np.clip(labels, 0, 5)]
 
 
 def merge_core(bases: np.ndarray, y1: np.ndarray, y2: np.ndarray) -> np.ndarray:
@@ -148,6 +151,45 @@ def merge_revision_with_quality(
         merged.tobytes().decode("ascii"),
         (mq + 33).astype(np.uint8).tobytes().decode("ascii"),
     )
+
+
+def revision_stats(
+    bases: str,
+    y1_labels: np.ndarray,
+    y2_labels: np.ndarray,
+) -> dict:
+    """Edit-op counts the merge would apply (model-path accuracy evidence).
+
+    Returns counts over the covered positions:
+      substitutions  — y1 == y2 in ACGT and != the original base
+      confirmations  — y1 == y2 in ACGT and == the original base
+      deletions_recovered — y1 == 'D', y2 in ACGT (a base is inserted)
+      insertions_dropped  — y1 == y2 == '-' (the original base is removed)
+      center_agreement    — fraction of covered positions where model1's
+                            call equals the original base (discriminativeness
+                            sanity: most bases in a real read are correct)
+    """
+    base_codes = np.frombuffer(bases.encode("ascii"), dtype=np.uint8)
+    y = labels_to_bases(y1_labels, model2=False)
+    z = labels_to_bases(y2_labels, model2=True)
+    n = min(len(base_codes), len(y), len(z))
+    b, y, z = base_codes[:n], y[:n], z[:n]
+
+    both = (y == z) & _ACGT[y]
+    subs = int((both & (y != b)).sum())
+    confirms = int((both & (y == b)).sum())
+    dels = int(((y == _D) & _ACGT[z]).sum())
+    ins = int(((y == _DASH) & (z == _DASH)).sum())
+    agree = float((y == b).mean()) if n else 0.0
+    return {
+        "covered": n,
+        "substitutions": subs,
+        "confirmations": confirms,
+        "deletions_recovered": dels,
+        "insertions_dropped": ins,
+        "center_agreement": agree,
+        "edits": subs + dels + ins,
+    }
 
 
 def merge_revision(

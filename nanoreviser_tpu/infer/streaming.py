@@ -388,7 +388,7 @@ class StreamingReviser:
 
         return _Pending(metas, self._fetch_pool.submit(fetch))
 
-    def _finish(self, pending: _Pending):
+    def _finish(self, pending: _Pending, emit: str = "seq"):
         host = pending.future.result()
         packed_all = host[0]                           # [D, W]
         q_all = host[1] if len(host) > 1 else None     # [D, 2, W]
@@ -399,12 +399,16 @@ class StreamingReviser:
             for name, read, r0 in meta:
                 wr = max(read.n_bases - t, 0)
                 if wr == 0:
-                    yield name, read, read.bases, None
+                    yield (name, read, None, None) if emit == "labels" else (
+                        name, read, read.bases, None
+                    )
                     continue
                 pk = packed[r0 : r0 + wr]
                 y1 = (pk >> 3).astype(np.int32)
                 y2 = (pk & 7).astype(np.int32)
-                if q is not None:
+                if emit == "labels":
+                    yield name, read, y1, y2
+                elif q is not None:
                     seq, qual = merge_revision_with_quality(
                         read.bases, y1, y2,
                         q[0, r0 : r0 + wr], q[1, r0 : r0 + wr],
@@ -417,10 +421,13 @@ class StreamingReviser:
                     )
                     yield name, read, seq, None
 
-    def revise_stream(self, items, errors: list | None = None):
+    def revise_stream(self, items, errors: list | None = None,
+                      emit: str = "seq"):
         """items: iterable of (fast5_name, ReadData).
 
-        Yields (name, read, revised_seq, qual_or_None) in input order.
+        Yields (name, read, revised_seq, qual_or_None) in input order; with
+        emit="labels" yields (name, read, y1, y2) raw per-window class labels
+        instead (accuracy tooling; degraded reads yield y1 = y2 = None).
 
         Reads are packed into fixed-shape device batches; up to
         ``max_in_flight`` batches overlap decode, h2d, compute, and the
@@ -459,20 +466,23 @@ class StreamingReviser:
                 batch = self._new_batch()
             submit_ready(force)
 
+        def fallback(read):
+            return (None, None) if emit == "labels" else (read.bases, None)
+
         def drain(p: _Pending):
             if getattr(p, "degraded", None) is not None:
                 for meta in p.meta:
                     for name, read, _ in meta:
-                        yield name, read, read.bases, None
+                        yield (name, read) + fallback(read)
                 return
             try:
-                yield from self._finish(p)
+                yield from self._finish(p, emit)
             except Exception as exc:  # noqa: BLE001
                 for meta in p.meta:
                     for name, read, _ in meta:
                         if errors is not None:
                             errors.append((name, exc))
-                        yield name, read, read.bases, None
+                        yield (name, read) + fallback(read)
 
         for name, read in items:
             if (
@@ -484,7 +494,7 @@ class StreamingReviser:
                 )
                 if errors is not None:
                     errors.append((name, exc))
-                yield name, read, read.bases, None
+                yield (name, read) + fallback(read)
                 continue
             if not self._add_read(batch, name, read):
                 flush()
@@ -496,7 +506,7 @@ class StreamingReviser:
                     )
                     if errors is not None:
                         errors.append((name, exc))
-                    yield name, read, read.bases, None
+                    yield (name, read) + fallback(read)
                     continue
             if len(pending) > self.max_in_flight:
                 yield from drain(pending.popleft())

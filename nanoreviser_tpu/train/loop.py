@@ -88,18 +88,47 @@ def train_model(
     class_weights = default_class_weights(n_classes)
     cw = jax.numpy.asarray(class_weights)  # jnp: indexed by traced batch["y"]
 
-    # ONE train-step implementation for single-chip, dp-sharded, and the
-    # driver's multichip dryrun: train/step.py (VERDICT r1 item 4/10)
+    # ONE train-step implementation for single-chip, dp-sharded, multi-host,
+    # and the driver's multichip dryrun: train/step.py (VERDICT r1 item 4/10)
+    multiproc = jax.process_count() > 1
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         step, _ = make_sharded_train_step(cfg, mesh, optimizer=optimizer)
         rep = NamedSharding(mesh, P())
-        params = jax.device_put(params, rep)
-        opt_state = jax.device_put(opt_state, rep)
+        if multiproc:
+            # same params on every host (same seed/checkpoint) -> one global
+            # replicated array per leaf
+            params = jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    rep, np.asarray(x)
+                ),
+                params,
+            )
+            opt_state = jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    rep, np.asarray(x)
+                ),
+                opt_state,
+            )
+        else:
+            params = jax.device_put(params, rep)
+            opt_state = jax.device_put(opt_state, rep)
     else:
         raw_step, _ = make_train_step(cfg, optimizer=optimizer)
         step = jax.jit(raw_step, donate_argnums=(0, 1))
+
+    def globalize(batch: dict) -> dict:
+        """Multi-host: batches are built identically everywhere (same corpus,
+        same seed); each process donates its slice of the global batch."""
+        if mesh is None or not multiproc:
+            return batch
+        from ..dist import distribute_batch, local_batch_slice
+
+        return distribute_batch(
+            mesh, local_batch_slice(batch, jax.process_index(),
+                                    jax.process_count())
+        )
 
     def eval_loss(params, batch):
         probs, _ = reviser_apply(params, batch["signal"], batch["feats"], cfg=cfg)
@@ -129,14 +158,16 @@ def train_model(
         losses, accs = [], []
         for bi, batch in enumerate(it.epoch()):
             rng, drop = jax.random.split(rng)
-            params, opt_state, metrics = step(params, opt_state, batch, drop)
+            params, opt_state, metrics = step(
+                params, opt_state, globalize(batch), drop
+            )
             losses.append(metrics["loss"])
             accs.append(metrics["accuracy"])
         ep_loss = float(np.mean([np.asarray(v) for v in losses]))
         ep_acc = float(np.mean([np.asarray(v) for v in accs]))
         vl, va = [], []
         for batch in it.validation():
-            loss, acc = eval_step(params, batch)
+            loss, acc = eval_step(params, globalize(batch))
             vl.append(loss)
             va.append(acc)
         val_loss = float(np.mean([np.asarray(v) for v in vl])) if vl else float("nan")
@@ -151,7 +182,7 @@ def train_model(
                 f"acc={ep_acc:.4f} val_loss={val_loss:.4f} "
                 f"({time.time() - t0:.1f}s)"
             )
-        if checkpoint_path:
+        if checkpoint_path and jax.process_index() == 0:
             save_checkpoint(checkpoint_path, params, opt_state, epoch + 1)
 
     params = jax.tree.map(np.asarray, params)

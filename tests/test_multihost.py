@@ -1,0 +1,85 @@
+"""Multi-host distribution (SURVEY §2.3 / §5 'distributed backend').
+
+* 2-process jax.distributed CPU simulation: the SAME train_model code path
+  the CLI runs, over a global 4-device mesh spanning both processes —
+  asserts both hosts converge to identical replicated params.
+* deterministic file sharding + shard-ordered merge (host-side, no jax).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from nanoreviser_tpu.dist import merge_parts, shard_files, write_merged_part
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_dp_training_agrees():
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)          # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
+             coord, "2", str(k)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for k in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    a, b = sorted(outs, key=lambda r: r["process"])
+    assert a["process"] == 0 and b["process"] == 1
+    # identical global batches + replicated params => identical metrics
+    assert np.isfinite(a["loss"])
+    np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-5)
+    np.testing.assert_allclose(a["val_loss"], b["val_loss"], rtol=1e-5)
+    np.testing.assert_allclose(a["digest"], b["digest"], rtol=1e-5)
+
+
+def test_shard_files_disjoint_complete():
+    fns = [f"read_{i:03d}.fast5" for i in range(17)]
+    world = 4
+    shards = [shard_files(fns, k, world) for k in range(world)]
+    assert sorted(sum(shards, [])) == sorted(fns)
+    for i in range(world):
+        for j in range(i + 1, world):
+            assert not set(shards[i]) & set(shards[j])
+    # balanced round-robin: sizes differ by at most 1
+    sizes = [len(s) for s in shards]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_merged_parts_shard_ordered(tmp_path):
+    out = str(tmp_path)
+    # write parts out of order — merge must still be shard-ordered
+    write_merged_part(out, 1, [(">b", "CCC")])
+    write_merged_part(out, 0, [(">a", "AAA"), (">c", "TTT")])
+    merged = merge_parts(out, os.path.join(out, "merged.fasta"), 2,
+                         timeout_s=5)
+    with open(merged) as fp:
+        assert fp.read() == ">a\nAAA\n>c\nTTT\n>b\nCCC\n"
+    assert not [f for f in os.listdir(out) if f.startswith("merged.part")]
