@@ -76,16 +76,35 @@ def _rolling_kmers(codes: np.ndarray, k: int, stride: int) -> np.ndarray:
 
 
 class KmerIndex:
-    """Host-side exact-match k-mer index over the genome (numpy)."""
+    """Host-side exact-match k-mer index over the genome (numpy).
 
-    def __init__(self, genome: dict[str, str], k: int = 15):
+    Memory: 8 bytes per indexed position (int32 k-mer code for k <= 15 +
+    int32/int64 position). For genomes over ~50 Mbp, positions are sampled
+    every ``stride`` bases (seed votes only need a sparse diagonal
+    consensus), keeping a human-genome index ~6 GB instead of the ~50 GB a
+    dense int64 table would need.
+    """
+
+    def __init__(self, genome: dict[str, str], k: int = 15,
+                 stride: int | None = None):
+        if k > 15:
+            raise ValueError("k must be <= 15 (int32 k-mer codes)")
+        total = sum(len(s) for s in genome.values())
+        if stride is None:
+            stride = 1 if total < 50_000_000 else 4
         self.k = k
+        self.stride = stride
         self._tables = {}
         for chrom, seq in genome.items():
             codes = encode_seq(seq)
             kmers = _rolling_kmers(codes, k, 1)
-            order = np.argsort(kmers, kind="stable")
-            self._tables[chrom] = (kmers[order], order.astype(np.int64), codes)
+            pos = np.arange(0, len(kmers), stride)
+            sampled = kmers[pos].astype(np.int32)
+            order = np.argsort(sampled, kind="stable")
+            pos_dtype = np.int32 if len(codes) < 2**31 else np.int64
+            self._tables[chrom] = (
+                sampled[order], pos[order].astype(pos_dtype), codes
+            )
 
     def seed(
         self, read_codes: np.ndarray, margin: int = 400, sample_stride: int = 11
@@ -95,7 +114,7 @@ class KmerIndex:
         for strand, q in (("+", read_codes), ("-", revcomp_codes(read_codes))):
             q_kmers = _rolling_kmers(q, k, 1)
             sample = np.arange(0, len(q_kmers), sample_stride)
-            q_sample = q_kmers[sample]
+            q_sample = q_kmers[sample].astype(np.int32)
             for chrom, (skmers, spos, codes) in self._tables.items():
                 lo = np.searchsorted(skmers, q_sample, side="left")
                 hi = np.searchsorted(skmers, q_sample, side="right")
@@ -264,6 +283,8 @@ class AlignmentResult:
     chrom: str
     genome_start: int
     score: float
+    start_clipped_bases: int = 0   # read bases clipped, ORIGINAL orientation
+    end_clipped_bases: int = 0
 
 
 DEFAULT_SCORES = dict(match=2.0, mismatch=-3.0, gap_open=-5.0, gap_extend=-2.0)
@@ -323,14 +344,66 @@ def align_banded(
     return ops, j_start, float(score)
 
 
+def clip_ops(
+    ops: np.ndarray,
+    read_seq: str,
+    target_seq: str,
+    j_start: int,
+    q_start: int = 0,
+    **score_overrides,
+) -> tuple[np.ndarray, int, int, int, int]:
+    """Soft-clip garbage alignment ends (GraphMap emits S/H clips for
+    unalignable read ends like adapters, reference alignutils.py:80-94; a
+    glocal DP instead forces them through as noise columns).
+
+    Kadane-style maximal-scoring run over per-column scores: keep the
+    contiguous op segment with the highest score sum, drop the rest as
+    clips. Returns (ops', j_start', q_start', head_read_clip,
+    tail_read_clip) where the clips count READ bases removed.
+    """
+    scores = dict(DEFAULT_SCORES, **score_overrides)
+    qi, ti = q_start, j_start
+    col_scores = np.empty(len(ops), np.float64)
+    prev = -1
+    for idx, op in enumerate(ops):
+        if op == DIAG:
+            col_scores[idx] = (
+                scores["match"]
+                if read_seq[qi] == target_seq[ti]
+                else scores["mismatch"]
+            )
+            qi += 1
+            ti += 1
+        else:
+            col_scores[idx] = (
+                scores["gap_extend"] if op == prev else scores["gap_open"]
+            )
+            qi += op == UP
+            ti += op == LEFT
+        prev = op
+
+    cum = np.concatenate([[0.0], np.cumsum(col_scores)])
+    run_min = np.minimum.accumulate(cum[:-1])
+    gains = cum[1:] - run_min
+    b = int(np.argmax(gains)) + 1                      # exclusive end
+    a = int(np.argmin(cum[:b]))                       # inclusive start
+    reads_consumed = (np.asarray(ops) != LEFT).astype(np.int64)
+    target_consumed = (np.asarray(ops) != UP).astype(np.int64)
+    head_clip = int(reads_consumed[:a].sum())
+    tail_clip = int(reads_consumed[b:].sum())
+    j_start2 = j_start + int(target_consumed[:a].sum())
+    return ops[a:b], j_start2, q_start + head_clip, head_clip, tail_clip
+
+
 def columns_from_ops(
-    ops: np.ndarray, read_seq: str, target_seq: str, t_offset: int
+    ops: np.ndarray, read_seq: str, target_seq: str, t_offset: int,
+    q_offset: int = 0,
 ) -> tuple[str, str, str]:
     """(read_vals, ref_vals, map_vals) columns from move codes."""
     read_parts: list[str] = []
     ref_parts: list[str] = []
     map_parts: list[str] = []
-    qi, ti = 0, t_offset
+    qi, ti = q_offset, t_offset
     for op in ops:
         if op == DIAG:
             a, b = read_seq[qi], target_seq[ti]
@@ -357,9 +430,18 @@ def align_read_to_genome(
     index: KmerIndex,
     genome: dict[str, str],
     band: int = 512,
+    clip_ends: bool = True,
     **score_overrides,
 ) -> AlignmentResult | None:
-    """Full seed + banded-extend pipeline (the GraphMap-equivalent call)."""
+    """Full seed + banded-extend pipeline (the GraphMap-equivalent call).
+
+    Matches the reference's parse_sam_record output conventions
+    (input_handeler.py:60-160): columns are in ORIGINAL-read orientation
+    (for '-' hits the target is viewed reverse-complemented), and
+    unalignable read ends are soft-clipped with the clip counts reported
+    (GraphMap S/H clips, reference alignutils.py:80-94) so downstream
+    fix_raw_starts_for_clipped_bases can trim the signal correspondingly.
+    """
     from .sam import rev_comp
 
     codes = encode_seq(read_seq)
@@ -374,7 +456,21 @@ def align_read_to_genome(
         q_seq, target, band=band, t_lead=t_lead, t_tail=t_tail,
         **score_overrides,
     )
-    read_vals, ref_vals, map_vals = columns_from_ops(ops, q_seq, target, j_start)
+    q_start = 0
+    head_clip = tail_clip = 0
+    if clip_ends:
+        ops, j_start, q_start, head_clip, tail_clip = clip_ops(
+            ops, q_seq, target, j_start, **score_overrides
+        )
+    read_vals, ref_vals, map_vals = columns_from_ops(
+        ops, q_seq, target, j_start, q_offset=q_start
+    )
+    if hit.strand == "-":
+        # reference convention: columns in original-read orientation
+        read_vals = rev_comp(read_vals)
+        ref_vals = rev_comp(ref_vals)
+        map_vals = map_vals[::-1]
+        head_clip, tail_clip = tail_clip, head_clip
     return AlignmentResult(
         read_vals=read_vals,
         ref_vals=ref_vals,
@@ -383,4 +479,6 @@ def align_read_to_genome(
         chrom=hit.chrom,
         genome_start=hit.t_start + j_start,
         score=score,
+        start_clipped_bases=head_clip,
+        end_clipped_bases=tail_clip,
     )

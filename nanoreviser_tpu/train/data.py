@@ -69,7 +69,6 @@ def _align_with_sw(read_seq: str, index, genome: dict):
     result = align_read_to_genome(read_seq, index, genome)
     if result is None:
         raise RuntimeError("Map Error, the read is unmapped.")
-    # glocal alignment consumes the whole read: no clipping
     return result
 
 
@@ -105,7 +104,7 @@ def label_read(
     elif engine == "sw":
         res = _align_with_sw(rd.bases, kmer_index, genome)
         read_vals, map_vals, ref_vals = res.read_vals, res.map_vals, res.ref_vals
-        start_clip, end_clip = 0, 0
+        start_clip, end_clip = res.start_clipped_bases, res.end_clipped_bases
     else:
         raise ValueError(f"unknown alignment engine {engine!r}")
 

@@ -1,8 +1,11 @@
-"""Banded SW labeler: label recovery on synthetic mutated references."""
+"""Banded SW labeler: label recovery on synthetic AND real-read data,
+end-clipping of unalignable read ends, and reference-orientation parity
+(reference parse_sam_record conventions, input_handeler.py:60-160)."""
 
 import numpy as np
 import pytest
 
+from nanoreviser_tpu.align.sam import rev_comp
 from nanoreviser_tpu.align.sw import (
     KmerIndex,
     align_banded,
@@ -77,11 +80,105 @@ def test_seed_and_align_genome():
     m_frac = res.map_vals.count("M") / len(read)
     assert m_frac > 0.85
 
-    # reverse-strand read
-    from nanoreviser_tpu.align.sam import rev_comp
-
+    # reverse-strand read: columns must come back in ORIGINAL-read
+    # orientation (reference parse_sam_record convention)
     read_rc = rev_comp(read)
     res2 = align_read_to_genome(read_rc, index, genome)
     assert res2 is not None
     assert res2.strand == "-"
     assert res2.map_vals.count("M") / len(read_rc) > 0.85
+    sc, ec = res2.start_clipped_bases, res2.end_clipped_bases
+    aligned = res2.read_vals.replace("-", "")
+    assert aligned == read_rc[sc : len(read_rc) - ec or None]
+
+
+def test_adapter_ends_are_clipped():
+    """Unalignable read ends (adapters) must be soft-clipped, not forced
+    through as garbage labels (GraphMap S-clips, alignutils.py:80-94)."""
+    rng = np.random.default_rng(7)
+    genome = {"chr1": "".join(rng.choice(list("ACGT"), 20000))}
+    index = KmerIndex(genome)
+    core = _mutate(rng, genome["chr1"][4000:5500])
+    adapter_head = "".join(rng.choice(list("ACGT"), 120))
+    adapter_tail = "".join(rng.choice(list("ACGT"), 80))
+    read = adapter_head + core + adapter_tail
+
+    res = align_read_to_genome(read, index, genome)
+    assert res is not None
+    # most of each adapter clipped (random flanks still share ~25% identity,
+    # so exact boundaries wobble)
+    assert res.start_clipped_bases > 60, res.start_clipped_bases
+    assert res.end_clipped_bases > 40, res.end_clipped_bases
+    assert res.start_clipped_bases < 200
+    aligned = res.read_vals.replace("-", "")
+    assert aligned == read[
+        res.start_clipped_bases : len(read) - res.end_clipped_bases or None
+    ]
+    # the surviving columns are real alignment, not adapter noise
+    assert res.map_vals.count("M") / len(res.map_vals) > 0.8
+
+    # reverse strand: clips swap to original-read coordinates
+    res2 = align_read_to_genome(rev_comp(read), index, genome)
+    assert res2 is not None and res2.strand == "-"
+    assert res2.start_clipped_bases > 40
+    assert res2.end_clipped_bases > 60
+
+
+def _mutate_with_truth(rng, seq, sub=0.05, ins=0.02, dele=0.02):
+    """Mutated copy of ``seq`` plus the TRUE alignment columns."""
+    bases = "ACGT"
+    out, cols = [], []
+    for ch in seq:
+        r = rng.random()
+        if r < dele:
+            cols.append(("-", ch, "D"))
+            continue
+        if r < dele + sub:
+            b = bases[rng.integers(4)]
+            out.append(b)
+            cols.append((b, ch, "M" if b == ch else "X"))
+        else:
+            out.append(ch)
+            cols.append((ch, ch, "M"))
+        if rng.random() < ins:
+            b = bases[rng.integers(4)]
+            out.append(b)
+            cols.append((b, "-", "I"))
+    return "".join(out), cols
+
+
+def test_label_recovery_on_real_read(unitest_fast5_files):
+    """Labels recovered by the SW path on a REAL nanopore read (true base
+    content: homopolymers, repeats) match the truth mutation script
+    (SURVEY §7 hard-part 4: validate labels, not SAM bytes)."""
+    from nanoreviser_tpu.align.labels import clean_read_map_ref
+    from nanoreviser_tpu.io import get_read_data
+
+    rd = get_read_data(str(unitest_fast5_files[0]))
+    genome_seq = rd.bases  # the read itself is the pseudo-genome
+    genome = {"read0": genome_seq}
+    index = KmerIndex(genome)
+
+    rng = np.random.default_rng(11)
+    read, cols = _mutate_with_truth(rng, genome_seq)
+    true_rv = "".join(c[0] for c in cols)
+    true_fv = "".join(c[1] for c in cols)
+    true_mv = "".join(c[2] for c in cols)
+    _, _, _, truth_ref2 = clean_read_map_ref(true_rv, true_mv, true_fv)
+    truth_y = np.asarray(list(truth_ref2))
+
+    res = align_read_to_genome(read, index, genome)
+    assert res is not None and res.strand == "+"
+    sw_read, sw_map, sw_ref = res.read_vals, res.map_vals, res.ref_vals
+    assert sw_read.replace("-", "") == read[
+        res.start_clipped_bases : len(read) - res.end_clipped_bases or None
+    ]
+    _, _, _, sw_ref2 = clean_read_map_ref(sw_read, sw_map, sw_ref)
+    sw_y = np.asarray(list(sw_ref2))
+
+    # compare per-read-base labels over the unclipped core
+    a = res.start_clipped_bases
+    t = truth_y[a : a + len(sw_y)]
+    n = min(len(t), len(sw_y))
+    agree = (t[:n] == sw_y[:n]).mean()
+    assert agree > 0.93, agree
