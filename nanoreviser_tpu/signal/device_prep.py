@@ -36,6 +36,7 @@ in tests/test_device_prep.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 MOMENT_BLOCK = 1024     # block-local prefix-sum width (must be >= 2 * 128)
