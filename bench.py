@@ -138,8 +138,14 @@ def main():
         "degraded_detail": [f"{n}: {e}" for n, e in errors[:3]],
         "bases_per_s": round(n_bases_sus / sustained_dt, 1) if not degraded else 0.0,
         "sustained_n_reads": len(sustained_fns),
-        "unitest_5read_reads_per_s": round(len(uni_fns) / best_uni, 3),
-        "unitest_bases_per_s": round(n_bases_uni / best_uni, 1),
+        # model-path extras share the headline's degraded hard-fail: a broken
+        # build must not publish impressive-looking side numbers
+        "unitest_5read_reads_per_s": (
+            round(len(uni_fns) / best_uni, 3) if not degraded else 0.0
+        ),
+        "unitest_bases_per_s": (
+            round(n_bases_uni / best_uni, 1) if not degraded else 0.0
+        ),
         "passthrough_reads_per_s": round(len(uni_fns) / passthrough_dt, 3),
         "baseline_reads_per_s": round(baseline["reads_per_s"], 3),
     }

@@ -361,6 +361,8 @@ def clip_ops(
     clips. Returns (ops', j_start', q_start', head_read_clip,
     tail_read_clip) where the clips count READ bases removed.
     """
+    if len(ops) == 0:
+        return ops, j_start, q_start, 0, 0
     scores = dict(DEFAULT_SCORES, **score_overrides)
     qi, ti = q_start, j_start
     col_scores = np.empty(len(ops), np.float64)
@@ -462,6 +464,10 @@ def align_read_to_genome(
         ops, j_start, q_start, head_clip, tail_clip = clip_ops(
             ops, q_seq, target, j_start, **score_overrides
         )
+    if len(ops) < 8:
+        # all-garbage alignment: clipping left (at most) a token segment —
+        # treat the read as unmapped rather than emit meaningless labels
+        return None
     read_vals, ref_vals, map_vals = columns_from_ops(
         ops, q_seq, target, j_start, q_offset=q_start
     )

@@ -64,7 +64,18 @@ def get_args(argv=None):
     p.add_argument("--model2_predict_dir", default="./model/human/human_win13_50ep_model2.h5")
     p.add_argument("--model_dir_root", default="./model/")
     p.add_argument(
-        "--revise_mode", default="auto", choices=["auto", "model", "passthrough"]
+        "--revise_mode", default="auto",
+        choices=["auto", "model", "passthrough", "basecaller"],
+    )
+    p.add_argument(
+        "--basecaller_exe", default="./nanorevutils/utils/bin/basecaller",
+        help="external basecaller binary for --revise_mode=basecaller "
+             "(reference output_handeler.py:170-184)",
+    )
+    p.add_argument(
+        "--basecaller_config", default=None,
+        help="basecaller .cfg path (default: <exe dir>/../data/"
+             "dna_r9.4.1_450bps_hac.cfg, the reference's scheme)",
     )
     p.add_argument("--align", default="reference", choices=["reference", "center"])
     # multi-host: N processes (one per host), deterministic file sharding
@@ -189,11 +200,45 @@ def main(argv=None) -> int:
 
         if mode == "model":
             yield from engine.revise_stream(ok_reads(), errors=failed)
+        elif mode == "basecaller":
+            from ..infer.basecaller import (
+                DEFAULT_CONFIG_NAME, rebasecall_read,
+            )
+            from ..utils import check_path
+
+            config_fn = args.basecaller_config or os.path.join(
+                os.path.dirname(args.basecaller_exe), "..", "data",
+                DEFAULT_CONFIG_NAME,
+            )
+            check_path(args.temp_dir)
+            for fn, read in ok_reads():
+                try:
+                    seq, qual = rebasecall_read(
+                        os.path.join(args.fast5_base_dir, fn),
+                        args.temp_dir, args.basecaller_exe, config_fn,
+                    )
+                    yield fn, read, seq, qual
+                except Exception as exc:  # noqa: BLE001 — per-read degradation
+                    failed.append((fn, str(exc)))
+                    yield fn, read, read.bases, None
         else:
             for fn, read in ok_reads():
                 yield fn, read, read.bases, None
 
     results = []
+    degraded_names: set[str] = set()
+    n_failed_seen = 0
+
+    def was_degraded(fn: str) -> bool:
+        """True iff the engine recorded a failure for fn. Degradations are
+        appended to ``failed`` before the passthrough item is yielded, so
+        consuming new entries here is exact."""
+        nonlocal n_failed_seen
+        while n_failed_seen < len(failed):
+            degraded_names.add(failed[n_failed_seen][0])
+            n_failed_seen += 1
+        return fn in degraded_names
+
     with cf.ThreadPoolExecutor(max_workers=max(1, args.thread)) as pool:
         prefetch = max(2 * max(1, args.thread), 64)
         loaded = _bounded_map(pool, load, fast5_fns, prefetch)
@@ -205,14 +250,10 @@ def main(argv=None) -> int:
                     write_read_fasta(fn, out_fn, seq)
                 else:
                     out_fn = os.path.join(args.output_dir, stem + "_out.fastq")
-                    if mode == "model" and qual is None:
-                        # degraded read: fall back to the embedded qualities
-                        seq, qual = extract_fastq(
-                            os.path.join(args.fast5_base_dir, fn),
-                            args.basecall_group,
-                            args.basecall_subgroup,
-                        )
-                    elif mode != "model":
+                    if qual is None:
+                        # degraded or passthrough: the reference's fastq
+                        # fallback is the embedded fastq trimmed 7/7
+                        # (NanoReviser.py:174-179)
                         seq, qual = extract_fastq(
                             os.path.join(args.fast5_base_dir, fn),
                             args.basecall_group,
@@ -220,7 +261,21 @@ def main(argv=None) -> int:
                         )
                     write_read_fastq(fn, out_fn, seq, qual)
                 results.append(out_fn)
-                if args.test_mode and logger:
+                if mode in ("model", "basecaller") and was_degraded(fn):
+                    # loud degradation: a read that silently fell back to
+                    # passthrough must never log success (the reference logs
+                    # "Congratulations" unconditionally, NanoReviser.py:145 —
+                    # done honestly here so unitest catches a dead model path)
+                    if args.test_mode and logger:
+                        logger.error(
+                            "[!!! Error] read degraded to passthrough: %s", fn
+                        )
+                    else:
+                        print(
+                            f"！！！[Error] {stem} degraded to passthrough "
+                            f"(see {args.failed_reads_filename})"
+                        )
+                elif args.test_mode and logger:
                     logger.info("Congratulations, NanoReviser is installed properly")
                 elif not args.test_mode:
                     print(f"[p:::] {stem}_out.{args.output_format} was saved......")

@@ -12,7 +12,10 @@ Differences (improvements, documented):
 * transfer learning actually works: --model{1,2}_train_dir load initial
   weights (the reference parses but ignores them).
 * per-epoch checkpoint/resume via --resume (the reference has none).
-* preprocessing runs in parallel host processes (--thread), not serially.
+* preprocessing runs in parallel: --thread worker threads per process (the
+  native SW labeler releases the GIL) and, multi-host, a disjoint
+  rank-sharded subset per process — the reference labels serially
+  (nanorevtrainutils.py:136-146, --thread parsed but unused).
 """
 
 from __future__ import annotations
@@ -94,7 +97,16 @@ def _test_mode_pseudo_genome(args) -> str:
     return genome_fn
 
 
-def _preprocess(args, logger=None) -> int:
+def _preprocess(args, logger=None, rank: int = 0, world: int = 1) -> int:
+    """Label reads -> per-read .npz cache.
+
+    Parallel on two axes: multi-host runs label a disjoint rank-sharded
+    subset (the .npz cache on the shared FS is the union), and within a
+    process --thread worker threads label concurrently (the native SW
+    aligner releases the GIL; the graphmap path is subprocess-bound).
+    """
+    import concurrent.futures as cf
+
     from ..io import list_fast5_files, parse_fasta
     from ..train.data import label_read, save_read_npz
     from ..utils import check_path
@@ -110,33 +122,49 @@ def _preprocess(args, logger=None) -> int:
     fast5_fns = list_fast5_files(args.fast5_base_dir)
     if args.read_counts and args.read_counts < len(fast5_fns):
         fast5_fns = fast5_fns[: args.read_counts]
+    if world > 1:
+        from ..dist import shard_files
+
+        fast5_fns = shard_files(fast5_fns, rank, world)
     check_path(args.train_input_dir)
+
+    def one(fn: str):
+        labeled = label_read(
+            os.path.join(args.fast5_base_dir, fn),
+            genome,
+            engine=args.aligner,
+            kmer_index=kmer_index,
+            genome_fn=args.genome_fn,
+            graphmap_exe=args.graphmap_exe,
+            tmp_dir=args.temp_dir,
+            basecall_group=args.basecall_group,
+            basecall_subgroup=args.basecall_subgroup,
+        )
+        save_read_npz(labeled, os.path.join(args.train_input_dir, fn.split(".")[0]))
+        return fn
+
     failed = []
     n_ok = 0
-    for fn in fast5_fns:
-        try:
-            labeled = label_read(
-                os.path.join(args.fast5_base_dir, fn),
-                genome,
-                engine=args.aligner,
-                kmer_index=kmer_index,
-                genome_fn=args.genome_fn,
-                graphmap_exe=args.graphmap_exe,
-                tmp_dir=args.temp_dir,
-                basecall_group=args.basecall_group,
-                basecall_subgroup=args.basecall_subgroup,
-            )
-            save_read_npz(labeled, os.path.join(args.train_input_dir, fn.split(".")[0]))
-            n_ok += 1
-            if not args.test_mode:
-                print(f"[s:::] {fn.split('.')[0]}.npz has been saved......")
-        except Exception as exc:  # noqa: BLE001
-            failed.append((fn, str(exc)))
-            if not args.test_mode:
-                print(f"！！！[Error] {fn.split('.')[0]}: {exc}")
+    with cf.ThreadPoolExecutor(max_workers=max(1, args.thread)) as pool:
+        futures = {pool.submit(one, fn): fn for fn in fast5_fns}
+        for fut in cf.as_completed(futures):
+            fn = futures[fut]
+            try:
+                fut.result()
+                n_ok += 1
+                if not args.test_mode:
+                    print(f"[s:::] {fn.split('.')[0]}.npz has been saved......")
+            except Exception as exc:  # noqa: BLE001
+                failed.append((fn, str(exc)))
+                if not args.test_mode:
+                    print(f"！！！[Error] {fn.split('.')[0]}: {exc}")
     if failed and args.failed_reads_filename:
-        with open(args.failed_reads_filename, "w") as fp:
-            for fn, err in failed:
+        # rank-suffixed in multi-host runs so shards never clobber each other
+        path = args.failed_reads_filename
+        if world > 1:
+            path += f".rank{rank}"
+        with open(path, "w") as fp:
+            for fn, err in sorted(failed):
                 fp.write(f"{fn}\t{err}\n")
     return n_ok
 
@@ -146,9 +174,11 @@ def main(argv=None) -> int:
     from .reviser import _honor_jax_platforms_env
 
     _honor_jax_platforms_env()
-    from ..dist import initialize as dist_init
+    from ..dist import barrier, initialize as dist_init, process_info
 
-    dist_init(args.coordinator_address, args.num_processes, args.process_id)
+    is_dist = dist_init(args.coordinator_address, args.num_processes,
+                        args.process_id)
+    rank, world = process_info() if is_dist else (0, 1)
     from ..models.export_keras import save_keras_weights
     from ..train.data import load_training_corpus
     from ..train.loop import save_params_npz, train_model
@@ -167,22 +197,27 @@ def main(argv=None) -> int:
         check_path(args.temp_dir)
         check_path(args.output_dir)
         check_path(args.train_input_dir)
-        n_ok = _preprocess(args, logger)
-        if n_ok == 0:
+        n_ok = _preprocess(args, logger, rank, world)
+        # every rank labels a disjoint shard onto the shared FS; wait for all
+        # shards before any rank assembles the (global) corpus
+        barrier("preprocess-done")
+        if world == 1 and n_ok == 0:
             raise RuntimeError("no reads could be labeled")
         check_path(args.train_model_dir)
 
         corpus = load_training_corpus(args.train_input_dir, args.window_size)
+        if corpus.y.size == 0:
+            raise RuntimeError("no reads could be labeled")
 
         # dp mesh over every local device: batches shard on "dp", params
         # replicate, XLA inserts the gradient psum (SURVEY.md §2.3). On a
         # single chip this is a 1-device mesh — same code path as 8 chips.
         import jax
-        import numpy as _np
-        from jax.sharding import Mesh
+
+        from ..parallel import make_mesh
 
         devices = jax.devices()
-        mesh = Mesh(_np.asarray(devices), ("dp",))
+        mesh = make_mesh(devices)
         # fixed-shape padded batches divide evenly across the mesh
         if args.batch_size % len(devices):
             args.batch_size += len(devices) - args.batch_size % len(devices)
@@ -219,26 +254,31 @@ def main(argv=None) -> int:
                 verbose=not args.test_mode,
                 mesh=mesh,
             )
-            save_params_npz(params, pre_fn.replace(".h5", ".npz"))
-            save_keras_weights(params, pre_fn, window=args.window_size,
-                               n_classes=n_classes)
-            save_params_npz(params, train_fn.replace(".h5", ".npz"))
-            summary = summary_generate(args, t0)
-            write_summary_file(history, summary, hist_fn, summary_fn)
+            if rank == 0:
+                # params are replicated/identical across ranks; only one
+                # process may write the shared-FS artifacts
+                save_params_npz(params, pre_fn.replace(".h5", ".npz"))
+                save_keras_weights(params, pre_fn, window=args.window_size,
+                                   n_classes=n_classes)
+                save_params_npz(params, train_fn.replace(".h5", ".npz"))
+                summary = summary_generate(args, t0)
+                write_summary_file(history, summary, hist_fn, summary_fn)
             if not args.test_mode:
                 print(f"[p:::] {tag} completed......")
 
+        barrier("train-done")  # no rank removes dirs others may still read
         if args.test_mode and logger:
             logger.info("Congratulations, NanoReviser_train is installed properly")
-            for path in (args.output_dir, args.model_dir):
-                if os.path.exists(path):
-                    shutil.rmtree(path)
+            if rank == 0:
+                for path in (args.output_dir, args.model_dir):
+                    if os.path.exists(path):
+                        shutil.rmtree(path)
         else:
             print(
                 "[s:::] The training time of NanoReviser_train is :%.2f seconds"
                 % (time.time() - start_time)
             )
-        if os.path.exists(args.temp_dir):
+        if rank == 0 and os.path.exists(args.temp_dir):
             shutil.rmtree(args.temp_dir)
         return 0
     except Exception as exc:  # noqa: BLE001

@@ -62,6 +62,20 @@ def process_info() -> tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
+def barrier(name: str) -> None:
+    """Block until every process reaches this point (no-op single-process).
+
+    Used between rank-sharded host work (e.g. preprocessing writes to a
+    shared FS) and the phase that consumes every rank's output."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def shard_files(
     fns: list[str], process_index: int, process_count: int
 ) -> list[str]:

@@ -138,14 +138,16 @@ class StreamingReviser:
         # of reads (the reference's only parallelism is one OS process per
         # read, NanoReviser.py:203-223; here the unit is a ~20-read batch).
         # Weights replicate, batch buffers shard on the leading axis.
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P  # noqa: F401 — shard_map specs
+
+        from ..parallel import batch_sharding, make_mesh, replicated_sharding
 
         if devices is None:
             devices = jax.local_devices()
-        self.mesh = Mesh(np.asarray(devices), ("dp",))
+        self.mesh = make_mesh(devices)
         self.n_dev = len(devices)
-        self._rep = NamedSharding(self.mesh, P())
-        self._buf_sharding = NamedSharding(self.mesh, P("dp"))
+        self._rep = replicated_sharding(self.mesh)
+        self._buf_sharding = batch_sharding(self.mesh)
 
         ws = stack_weight_dicts(
             [pack_stack_weights(f1, win1), pack_stack_weights(f2, win2)]

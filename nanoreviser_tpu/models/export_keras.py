@@ -35,16 +35,21 @@ def _lstm_arrays(name: str, lp: dict) -> dict:
 
 
 def save_keras_weights(params: dict, path: str, window: int, n_classes: int):
+    # Group order = Keras's topological traversal of the reference graph
+    # (the two branches interleave by node depth) — legacy h5 loading
+    # matches layers BY ORDER, not by name, so this order is what makes
+    # ``model.load_weights(path)`` work on a rebuild of the reference
+    # architecture (verified in tests/test_export_keras.py).
     layers = [
         ("time_distributed_1", _dense_arrays("conv", params["conv1"])),
         ("time_distributed_2", _bn_arrays("bn", params["bn_c1"])),
         ("time_distributed_3", _dense_arrays("conv", params["conv2"])),
-        ("time_distributed_4", _bn_arrays("bn", params["bn_c2"])),
         ("bidirectional_1", _lstm_arrays("read_rnn1", params["read_rnn1"])),
+        ("time_distributed_4", _bn_arrays("bn", params["bn_c2"])),
         ("batch_normalization_3", _bn_arrays("batch_normalization_3", params["bn_r1"])),
         ("bidirectional_2", _lstm_arrays("read_rnn11", params["read_rnn2"])),
-        ("time_distributed_6", _dense_arrays("signal_x_out", params["sig_dense"])),
         ("batch_normalization_4", _bn_arrays("batch_normalization_4", params["bn_r2"])),
+        ("time_distributed_6", _dense_arrays("signal_x_out", params["sig_dense"])),
         ("bidirectional_3", _lstm_arrays("total_rnn1", params["total_rnn1"])),
         ("batch_normalization_5", _bn_arrays("batch_normalization_5", params["bn_t1"])),
         ("bidirectional_4", _lstm_arrays("total_rnn2", params["total_rnn2"])),

@@ -83,9 +83,23 @@ def label_read(
     tmp_dir: str = "./train_tmp",
     basecall_group: str = "Basecall_1D_000",
     basecall_subgroup: str = "BaseCalled_template",
+    bases_override: str | None = None,
 ) -> LabeledRead:
-    """Decode + align + label + segment one training read."""
+    """Decode + align + label + segment one training read.
+
+    ``bases_override`` substitutes the decoded base string before alignment
+    (same length — substitutions only, so starts/signal stay consistent).
+    Used by the ground-truth accuracy experiment
+    (benchmarks/ground_truth_experiment.py) to inject known errors whose
+    correction the signal can evidence.
+    """
     rd = get_read_data(fast5_fn, basecall_group, basecall_subgroup)
+    if bases_override is not None:
+        if len(bases_override) != rd.n_bases:
+            raise ValueError("bases_override must preserve read length")
+        import dataclasses
+
+        rd = dataclasses.replace(rd, bases=bases_override)
 
     if engine == "graphmap":
         os.makedirs(tmp_dir, exist_ok=True)
