@@ -49,26 +49,18 @@ def measure_baseline():
 
 
 def _stream(engine, fast5_dir, fns, out_dir, errors, pool):
-    """Full end-to-end pass: decode (2 host threads) -> device -> fasta."""
-    from nanoreviser_tpu.io import get_read_data, write_read_fasta
+    """Full end-to-end pass: decode+prep (worker processes) -> device -> fasta."""
+    from nanoreviser_tpu.io import write_read_fasta
 
-    def load(fn):
-        return fn, get_read_data(os.path.join(fast5_dir, fn))
-
-    import collections
-    queue = collections.deque()
-
-    def loaded():
-        it = iter(fns)
-        for fn in it:
-            queue.append(pool.submit(load, fn))
-            if len(queue) >= 16:
-                yield queue.popleft().result()
-        while queue:
-            yield queue.popleft().result()
+    def items():
+        for fn, prepped, err in pool.stream(fast5_dir, fns):
+            if err is not None:
+                errors.append((fn, err))
+                continue
+            yield fn, prepped
 
     n_out = 0
-    for fn, _rd, seq, _q in engine.revise_stream(loaded(), errors=errors):
+    for fn, _rd, seq, _q in engine.revise_stream(items(), errors=errors):
         write_read_fasta(
             fn, os.path.join(out_dir, fn.split(".")[0] + "_out.fasta"), seq
         )
@@ -77,9 +69,8 @@ def _stream(engine, fast5_dir, fns, out_dir, errors, pool):
 
 
 def main():
-    import concurrent.futures as cf
-
     from nanoreviser_tpu.infer import StreamingReviser
+    from nanoreviser_tpu.infer.hostpipe import PrepPool
     from nanoreviser_tpu.io import get_read_data, list_fast5_files, write_read_fasta
 
     engine = StreamingReviser(MODEL1, MODEL2)
@@ -98,8 +89,7 @@ def main():
         n_bases_sus *= 20
 
     errors: list = []
-    with tempfile.TemporaryDirectory() as out_dir, \
-            cf.ThreadPoolExecutor(max_workers=2) as pool:
+    with tempfile.TemporaryDirectory() as out_dir, PrepPool() as pool:
         sus_dir = TRAIN_DIR if train_fns else UNITEST_DIR
         # warm-up: compile the single fixed-shape program
         _stream(engine, UNITEST_DIR, uni_fns, out_dir, errors, pool)

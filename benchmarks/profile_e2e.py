@@ -39,9 +39,9 @@ def main():
     orig_submit = engine._submit_group
     orig_finish = engine._finish
 
-    def timed_add(b, n, r):
+    def timed_add(b, n, r, p):
         t0 = time.perf_counter()
-        out = orig_add(b, n, r)
+        out = orig_add(b, n, r, p)
         tm["add"] += time.perf_counter() - t0
         return out
 
@@ -51,12 +51,12 @@ def main():
         tm["submit"] += time.perf_counter() - t0
         return out
 
-    def timed_finish(pending):
+    def timed_finish(pending, emit="seq"):
         t0 = time.perf_counter()
         pending.future.result()
         tm["wait"] += time.perf_counter() - t0
         t0 = time.perf_counter()
-        for item in orig_finish(pending):
+        for item in orig_finish(pending, emit):
             tm["merge"] += time.perf_counter() - t0
             yield item
             t0 = time.perf_counter()
@@ -70,8 +70,10 @@ def main():
         for k in tm:
             tm[k] = 0.0
         t0 = time.time()
-        n = sum(1 for _ in engine.revise_stream(iter(reads)))
+        errors = []
+        n = sum(1 for _ in engine.revise_stream(iter(reads), errors=errors))
         e2e = time.time() - t0
+        assert not errors, errors[:2]
         acc = sum(tm.values())
         P(f"rep{rep}: e2e={e2e:.3f}s  add={tm['add']:.3f} submit={tm['submit']:.3f} "
           f"wait={tm['wait']:.3f} merge={tm['merge']:.3f} "

@@ -3,17 +3,18 @@
 
 Times each stage of the production path independently on the 100-read
 training set so optimization effort goes at the actual bottleneck:
-  decode    host fast5 -> ReadData (1 and 2 threads)
-  mad       host int16-histogram medians
-  assemble  packing reads into fixed-shape batch buffers
+  decode    host fast5 -> ReadData (serial; h5py holds the GIL)
+  prep      host ReadData -> PreppedRead (window gather, moments, feats)
+  pool      decode+prep via 2 hostpipe worker processes (the CLI path)
+  assemble  packing prepped reads into fixed-shape batch buffers
   h2d       device_put of the batch buffers
-  device    the jitted preprocess+kernel program, warm (block_until_ready)
-  d2h       fetching the packed labels
+  device    the jitted normalize+kernel program (k dispatches, one fetch —
+            block_until_ready does not actually block under the axon tunnel)
   merge     vectorized revision merge per read
-  e2e       engine.revise_stream end to end
+  e2e       engine.revise_stream end to end (pre-prepped reads)
+  e2e_pool  PrepPool -> engine.revise_stream (the production path)
 """
 
-import concurrent.futures as cf
 import json
 import os
 import sys
@@ -32,71 +33,72 @@ def main():
     import jax
 
     from nanoreviser_tpu.infer import StreamingReviser
+    from nanoreviser_tpu.infer.hostpipe import PrepPool
     from nanoreviser_tpu.infer.merge import merge_revision
     from nanoreviser_tpu.io import get_read_data, list_fast5_files
+    from nanoreviser_tpu.signal.host_prep import prep_read
 
     fns = list_fast5_files(TRAIN_DIR)
     print(f"{len(fns)} reads")
+    out = {}
 
     t0 = time.time()
     reads = [(fn, get_read_data(os.path.join(TRAIN_DIR, fn))) for fn in fns]
-    t_decode1 = time.time() - t0
-    print(f"decode 1-thread: {t_decode1:.3f}s  ({t_decode1/len(fns)*1e3:.1f} ms/read)")
+    out["decode_s"] = time.time() - t0
+    print(f"decode: {out['decode_s']:.3f}s  "
+          f"({out['decode_s']/len(fns)*1e3:.1f} ms/read)")
 
-    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+    t0 = time.time()
+    prepped = [(fn, prep_read(rd)) for fn, rd in reads]
+    out["prep_s"] = time.time() - t0
+    print(f"prep: {out['prep_s']:.3f}s  ({out['prep_s']/len(fns)*1e3:.1f} ms/read)")
+
+    with PrepPool(2) as pool:
+        list(pool.stream(TRAIN_DIR, fns[:4]))      # warm the workers
         t0 = time.time()
-        list(pool.map(lambda fn: get_read_data(os.path.join(TRAIN_DIR, fn)), fns))
-        t_decode2 = time.time() - t0
-    print(f"decode 2-thread: {t_decode2:.3f}s")
+        n_ok = sum(1 for _, p, e in pool.stream(TRAIN_DIR, fns) if e is None)
+        out["pool_s"] = time.time() - t0
+        assert n_ok == len(fns)
+        print(f"pool decode+prep (2 proc): {out['pool_s']:.3f}s  "
+              f"({len(fns)/out['pool_s']:.1f} reads/s)")
 
     engine = StreamingReviser(MODEL1, MODEL2)
 
-    # assemble all batches up front
     t0 = time.time()
     batches = []
     b = engine._new_batch()
-    for name, rd in reads:
-        if not engine._add_read(b, name, rd):
+    for (name, rd), (_, p) in zip(reads, prepped):
+        if not engine._add_read(b, name, rd, p):
             engine._finalize(b)
             batches.append(b)
             b = engine._new_batch()
-            assert engine._add_read(b, name, rd)
+            assert engine._add_read(b, name, rd, p)
     if b.meta:
         engine._finalize(b)
         batches.append(b)
-    t_asm = time.time() - t0
-    print(f"assemble: {t_asm:.3f}s  ({len(batches)} batches)")
+    out["assemble_s"] = time.time() - t0
+    print(f"assemble: {out['assemble_s']:.3f}s  ({len(batches)} batches)")
 
-    bufs = [np.stack([bt.buf]) for bt in batches]
-
-    # h2d
+    bufs = [{k: v[None] for k, v in bt.arrays.items()} for bt in batches]
     for _ in range(2):
         t0 = time.time()
-        dev_bufs = [
-            jax.device_put(bf, engine._buf_sharding) for bf in bufs
-        ]
+        dev_bufs = [jax.device_put(bf, engine._buf_sharding) for bf in bufs]
         jax.block_until_ready(dev_bufs)
-        t_h2d = time.time() - t0
-    mb = sum(bf.nbytes for bf in bufs) / 1e6
-    print(f"h2d: {t_h2d:.3f}s  ({mb:.1f} MB, {mb/t_h2d:.0f} MB/s)")
+        out["h2d_s"] = time.time() - t0
+    mb = sum(a.nbytes for bf in bufs for a in bf.values()) / 1e6
+    print(f"h2d: {out['h2d_s']:.3f}s  ({mb:.1f} MB, {mb/out['h2d_s']:.0f} MB/s)")
 
-    # device compute, warm
+    # device: k dispatches chained, ONE final fetch (axon's block_until_ready
+    # returns at dispatch, so a fetch is the only true sync point)
     outs = [engine._fn(engine._ws, db) for db in dev_bufs]
-    jax.block_until_ready(outs)
+    _ = [np.asarray(jax.tree_util.tree_leaves(o)[0]) for o in outs]
     t0 = time.time()
     outs = [engine._fn(engine._ws, db) for db in dev_bufs]
-    jax.block_until_ready(outs)
-    t_dev = time.time() - t0
-    print(f"device (warm): {t_dev:.3f}s  ({t_dev/len(batches)*1e3:.1f} ms/batch)")
+    host_outs = [np.asarray(jax.tree_util.tree_leaves(o)[0]) for o in outs]
+    out["device_s"] = time.time() - t0
+    print(f"device+d2h (warm): {out['device_s']:.3f}s  "
+          f"({out['device_s']/len(batches)*1e3:.1f} ms/batch)")
 
-    # d2h
-    t0 = time.time()
-    host_outs = [np.asarray(o) for o in outs]
-    t_d2h = time.time() - t0
-    mb_out = sum(h.nbytes for h in host_outs) / 1e6
-    print(f"d2h: {t_d2h:.3f}s  ({mb_out:.2f} MB)")
-
-    # merge
     t = engine.window
     t0 = time.time()
     n_m = 0
@@ -109,26 +111,36 @@ def main():
             y2 = (pk & 7).astype(np.int32)
             merge_revision(rd.bases, y1, y2, align=engine.align, window=t)
             n_m += 1
-    t_merge = time.time() - t0
-    print(f"merge: {t_merge:.3f}s  ({t_merge/n_m*1e3:.1f} ms/read)")
+    out["merge_s"] = time.time() - t0
+    print(f"merge: {out['merge_s']:.3f}s  ({out['merge_s']/n_m*1e3:.1f} ms/read)")
 
-    # end-to-end warm (reads pre-decoded => isolates engine pipeline)
-    for rep in range(2):
+    for _ in range(2):
         t0 = time.time()
         errors = []
-        n = sum(1 for _ in engine.revise_stream(iter(reads), errors=errors))
-        t_e2e = time.time() - t0
+        n = sum(1 for _ in engine.revise_stream(iter(prepped), errors=errors))
+        out["e2e_s"] = time.time() - t0
         assert not errors, errors[:2]
-    print(f"e2e (pre-decoded reads): {t_e2e:.3f}s  "
-          f"({len(fns)/t_e2e:.1f} reads/s)")
+    print(f"e2e (pre-prepped): {out['e2e_s']:.3f}s  "
+          f"({len(fns)/out['e2e_s']:.1f} reads/s)")
 
-    print(json.dumps({
-        "decode1_s": round(t_decode1, 3), "decode2_s": round(t_decode2, 3),
-        "assemble_s": round(t_asm, 3), "h2d_s": round(t_h2d, 3),
-        "device_s": round(t_dev, 3), "d2h_s": round(t_d2h, 3),
-        "merge_s": round(t_merge, 3), "e2e_s": round(t_e2e, 3),
-        "n_batches": len(batches),
-    }))
+    with PrepPool(2) as pool:
+        list(pool.stream(TRAIN_DIR, fns[:4]))
+        for _ in range(2):
+            def items(p=pool):
+                for fn, pr, err in p.stream(TRAIN_DIR, fns):
+                    assert err is None, (fn, err)
+                    yield fn, pr
+            t0 = time.time()
+            errors = []
+            n = sum(1 for _ in engine.revise_stream(items(), errors=errors))
+            out["e2e_pool_s"] = time.time() - t0
+            assert not errors, errors[:2]
+    print(f"e2e (PrepPool production): {out['e2e_pool_s']:.3f}s  "
+          f"({len(fns)/out['e2e_pool_s']:.1f} reads/s)")
+
+    out = {k: round(v, 3) for k, v in out.items()}
+    out["n_batches"] = len(batches)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -171,16 +171,6 @@ def main(argv=None) -> int:
             read = get_read_data(
                 path, args.basecall_group, args.basecall_subgroup
             )
-            if mode == "model":
-                # precompute the MAD normalizers on the decode threads
-                import dataclasses
-
-                from ..signal.segmentation import mad_normalizers_int16
-
-                tail = read.signal[read.read_start_rel_to_raw :]
-                read = dataclasses.replace(
-                    read, mad=mad_normalizers_int16(np.ascontiguousarray(tail))
-                )
             return fn, read, None
         except Exception as exc:  # noqa: BLE001 — per-read degradation
             return fn, None, exc
@@ -199,7 +189,30 @@ def main(argv=None) -> int:
                 yield fn, read
 
         if mode == "model":
-            yield from engine.revise_stream(ok_reads(), errors=failed)
+            # decode + prep on worker processes (hostpipe): h5py holds the
+            # GIL, so threads cannot scale the ~4 ms/read decode — processes
+            # do, and the engine packs PreppedRead rows straight into the
+            # device batch buffer
+            from ..infer.hostpipe import PrepPool
+
+            n_workers = min(max(1, args.thread), os.cpu_count() or 1)
+            with PrepPool(
+                n_workers, args.basecall_group, args.basecall_subgroup
+            ) as prep_pool:
+
+                def prepped_items():
+                    stream = prep_pool.stream(args.fast5_base_dir, fast5_fns)
+                    for fn, prepped, err in stream:
+                        if err is not None:
+                            failed.append((fn, err))
+                            if args.test_mode and logger:
+                                logger.error("[!!! Error] Basecalling")
+                            elif not args.test_mode:
+                                print(f"！！！[Error] fast5 file: {fn}: {err}")
+                            continue
+                        yield fn, prepped
+
+                yield from engine.revise_stream(prepped_items(), errors=failed)
         elif mode == "basecaller":
             from ..infer.basecaller import (
                 DEFAULT_CONFIG_NAME, rebasecall_read,

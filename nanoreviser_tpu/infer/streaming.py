@@ -1,28 +1,36 @@
 """Streaming TPU inference engine — megabatched production fast path.
 
-Pipeline shape, designed around the measured link profile of the TPU
-attachment (h2d ~200 MB/s, d2h ~25 MB/s, ~27 ms per host-blocking call,
-async dispatch ~0.4 ms, on-chip matmul ~200 TFLOP/s):
+Pipeline shape, designed around the measured profile of the TPU attachment
+(h2d ~600 MB/s, ~27 ms per host-blocking call, async dispatch ~0.4 ms) and
+of the chip (fused dual-model kernel: 50 ms per 131k-window batch):
 
-  host thread(s):   fast5 decode (vectorized, ~4 ms/read; CLI thread pool)
+  host worker(s):   fast5 decode + per-read prep (signal/host_prep: raw
+                    int16 window gather, exact f64 event moments, f16
+                    feature rows) — numpy fancy-indexing at C speed; runs
+                    on worker processes (infer.hostpipe) or the caller's
+                    threads
   batch assembly:   MANY reads concatenated into ONE fixed-shape buffer
-                    (raw int16 signal tails + compact per-base arrays +
-                    per-read segment bounds) — fixed shape means exactly one
-                    compiled program; a scalar valid-window count lets the
-                    kernel skip unfilled blocks
-  upload:           one contiguous ~5 MB h2d per ~20 reads
-  device (1 jit):   segmented preprocessing (signal/device_prep: per-read
-                    MAD medians, windows, features) -> fused dual-model
-                    Pallas kernel (ops/reviser_kernel.stack_logits_full,
-                    per-base conv/projection hoisting) -> packed uint8
-                    labels (y1*8+y2) [+ phred qualities]
+                    (int16 window rows + f16 features + per-base
+                    normalizers) — fixed shape means exactly one compiled
+                    program; a scalar valid-window count lets the kernel
+                    skip unfilled blocks
+  upload:           one contiguous ~16 MB h2d per ~20 reads (async)
+  device (1 jit):   elementwise normalize/mask (signal/device_prep, fused
+                    by XLA into one HBM pass) -> fused dual-model Pallas
+                    kernel (ops/reviser_kernel.stack_logits_full, per-base
+                    conv/projection hoisting) -> packed uint8 labels
+                    (y1*8+y2) [+ phred qualities]
   download:         one async d2h per batch on a fetch thread (~27 ms RTT is
                     amortized over the whole batch and overlaps compute)
   host:             vectorized per-read revision merge + fasta/fastq write
 
+An earlier design gathered the 50-sample windows ON DEVICE; that vmapped
+dynamic-slice gather cost 158 ms/batch — 3x the model kernel — and capped
+the pipeline at ~110 reads/s. Host-side gathering removed it entirely.
+
 The reference's only parallelism is a per-read multiprocessing.Pool
 (NanoReviser.py:203-223); here a single device pipeline sustains hundreds of
-reads/s and the host threads only decode and write.
+reads/s and the host workers only decode, prep, and write.
 """
 
 from __future__ import annotations
@@ -48,13 +56,11 @@ from ..ops.reviser_kernel import (
     stack_weight_dicts,
 )
 from ..signal.device_prep import device_preprocess_batch
-from ..signal.features import base_colors
-from ..signal.segmentation import mad_normalizers_int16
+from ..signal.host_prep import QUERY_LEN, PreppedRead, prep_read
 from .merge import merge_revision, merge_revision_with_quality
 
 DEFAULT_BLOCK = 256
 DEFAULT_BATCH_WINDOWS = 131072      # windows per device batch (~20 reads)
-DEFAULT_SIG_RATIO = 16              # signal samples budget per base row
 DEFAULT_R_MAX = 48                  # max reads per batch
 
 
@@ -72,10 +78,9 @@ def _enable_compile_cache():
 
 @dataclass
 class _Batch:
-    buf: np.ndarray
-    meta: list = field(default_factory=list)   # (fast5_name, ReadData, row_off)
+    arrays: dict                               # typed per-batch upload arrays
+    meta: list = field(default_factory=list)   # (fast5_name, read_obj, row_off)
     rows: int = 0
-    sig: int = 0
 
 
 @dataclass
@@ -95,7 +100,6 @@ class StreamingReviser:
         block: int = DEFAULT_BLOCK,
         align: str = "reference",
         batch_windows: int | None = None,
-        sig_ratio: int = DEFAULT_SIG_RATIO,
         r_max: int = DEFAULT_R_MAX,
         emit_quality: bool = False,
         max_in_flight: int = 3,
@@ -124,7 +128,6 @@ class StreamingReviser:
         assert batch_windows % block == 0
         self.w_max = batch_windows
         self.n_rows = batch_windows + win1
-        self.s_max = sig_ratio * batch_windows
         self.r_max = r_max
 
         f1 = fold_inference_params(p1)
@@ -173,8 +176,10 @@ class StreamingReviser:
         except ImportError:  # pragma: no cover — older jax
             from jax.experimental.shard_map import shard_map
 
-        def sharded_fn(ws, bufs):           # local shard: bufs [1, L]
-            out = self._device_fn(ws, bufs[0])
+        def sharded_fn(ws, bufs):           # local shard: dict of [1, ...]
+            out = self._device_fn(
+                ws, jax.tree_util.tree_map(lambda x: x[0], bufs)
+            )
             return jax.tree_util.tree_map(lambda x: x[None], out)
 
         # check_vma must be off: pallas_call outputs carry no varying-manual-
@@ -197,81 +202,28 @@ class StreamingReviser:
     # ------------------------------------------------------- buffer layout
 
     def _buffer_layout(self) -> dict:
-        """Byte offsets of the single per-batch upload buffer."""
-        o = {}
-        off = 0
-
-        def add(name, nbytes):
-            nonlocal off
-            o[name] = off
-            off += nbytes
-
-        rb = 4 * (self.r_max + 1)
-        add("sig", 2 * self.s_max)          # int16 signal tails
-        add("starts", 4 * self.n_rows)      # int32, tail-relative
-        add("mean", 2 * self.n_rows)        # f16 event means
-        add("std", 2 * self.n_rows)         # f16 event stdvs
-        add("color", self.n_rows)           # u8 base colors
-        add("sbounds", rb)                  # int32 signal segment bounds
-        add("bbounds", rb)                  # int32 base-row segment bounds
-        add("shift", 4 * self.r_max)        # f32 per-read median
-        add("scale", 4 * self.r_max)        # f32 per-read MAD
-        add("wvalid", 4)                    # int32 valid window count
-        o["total"] = off
-        return o
-
-    def _views(self, buf: np.ndarray) -> dict:
-        o = self._layout
-        rb = self.r_max + 1
+        """dtype/shape of each per-batch upload array. Typed arrays (not one
+        flat byte buffer) keep the device program free of bitcast/reshape
+        unpacking; device_put of the dict is still one async upload group."""
+        n = self.n_rows
         return {
-            "sig": np.frombuffer(buf, np.int16, self.s_max, o["sig"]),
-            "starts": np.frombuffer(buf, np.int32, self.n_rows, o["starts"]),
-            "mean": np.frombuffer(buf, np.float16, self.n_rows, o["mean"]),
-            "std": np.frombuffer(buf, np.float16, self.n_rows, o["std"]),
-            "color": np.frombuffer(buf, np.uint8, self.n_rows, o["color"]),
-            "sbounds": np.frombuffer(buf, np.int32, rb, o["sbounds"]),
-            "bbounds": np.frombuffer(buf, np.int32, rb, o["bbounds"]),
-            "shift": np.frombuffer(buf, np.float32, self.r_max, o["shift"]),
-            "scale": np.frombuffer(buf, np.float32, self.r_max, o["scale"]),
-            "wvalid": np.frombuffer(buf, np.int32, 1, o["wvalid"]),
+            "win": (np.int16, (n, QUERY_LEN)),    # raw window samples
+            "feats": (np.float16, (n, 6)),        # final per-base features
+            "shift": (np.float32, (n,)),          # per-base median
+            "scale": (np.float32, (n,)),          # per-base MAD (pad: 1.0)
+            "vlen": (np.uint8, (n,)),             # valid window length
+            "wvalid": (np.int32, (1,)),           # valid window count
         }
 
-    def _unpack(self, buf: jnp.ndarray) -> dict:
-        """Device-side view of the upload buffer (bitcasts, no copies)."""
-        from jax import lax
-
-        o = self._layout
-        rb = self.r_max + 1
-
-        def cut(name, n, width, dtype):
-            start = o[name]
-            raw = lax.dynamic_slice(buf, (start,), (n * width,))
-            if width == 1:
-                return raw
-            return lax.bitcast_convert_type(raw.reshape(n, width), dtype)
-
-        return {
-            "sig": cut("sig", self.s_max, 2, jnp.int16),
-            "starts": cut("starts", self.n_rows, 4, jnp.int32),
-            "mean": cut("mean", self.n_rows, 2, jnp.float16),
-            "std": cut("std", self.n_rows, 2, jnp.float16),
-            "color": cut("color", self.n_rows, 1, jnp.uint8),
-            "sbounds": cut("sbounds", rb, 4, jnp.int32),
-            "bbounds": cut("bbounds", rb, 4, jnp.int32),
-            "shift": cut("shift", self.r_max, 4, jnp.float32),
-            "scale": cut("scale", self.r_max, 4, jnp.float32),
-            "wvalid": cut("wvalid", 1, 4, jnp.int32),
-        }
+    def _views(self, arrays: dict) -> dict:
+        return arrays
 
     # ----------------------------------------------------------- device side
 
-    def _device_fn(self, ws, buf):
+    def _device_fn(self, ws, v):
         t = self.window
-        v = self._unpack(buf)
         windows, feats = device_preprocess_batch(
-            v["sig"], v["starts"],
-            v["mean"], v["std"], v["color"].astype(jnp.float32),
-            v["sbounds"], v["bbounds"], v["shift"], v["scale"],
+            v["win"], v["vlen"], v["feats"], v["shift"], v["scale"]
         )
         if self._use_pallas:
             sig_nb = jnp.pad(
@@ -325,61 +277,55 @@ class StreamingReviser:
     # ------------------------------------------------------------- host side
 
     def _new_batch(self) -> _Batch:
-        return _Batch(buf=np.zeros(self._layout["total"], np.uint8))
+        return _Batch(arrays={
+            k: np.zeros(shape, dtype) for k, (dtype, shape) in self._layout.items()
+        })
 
-    def _add_read(self, batch: _Batch, name: str, read: ReadData) -> bool:
-        """Try to append a read to the batch; False when it does not fit."""
-        n = read.n_bases
-        tail_len = len(read.signal) - read.read_start_rel_to_raw
-        if (
-            batch.rows + n > self.n_rows
-            or batch.sig + tail_len > self.s_max
-            or len(batch.meta) >= self.r_max
-        ):
+    def _add_read(self, batch: _Batch, name: str, read, prepped: PreppedRead) -> bool:
+        """Try to append a prepped read to the batch; False if it won't fit.
+
+        ``read`` is the caller's original object (ReadData or PreppedRead),
+        carried through to the output tuples; ``prepped`` holds the packed
+        arrays.
+        """
+        n = prepped.n_bases
+        if batch.rows + n > self.n_rows or len(batch.meta) >= self.r_max:
             return False
-        vw = self._views(batch.buf)
-        r0, s0 = batch.rows, batch.sig
-        tail = read.signal[read.read_start_rel_to_raw :]
-        vw["sig"][s0 : s0 + tail_len] = tail
-        vw["starts"][r0 : r0 + n] = read.starts
-        vw["mean"][r0 : r0 + n] = read.ab_mean.astype(np.float16)
-        vw["std"][r0 : r0 + n] = read.ab_std.astype(np.float16)
-        vw["color"][r0 : r0 + n] = base_colors(read.bases).astype(np.uint8)
-        k = len(batch.meta)
-        vw["sbounds"][k] = s0
-        vw["bbounds"][k] = r0
-        shift, scale = read.mad if read.mad else mad_normalizers_int16(
-            np.ascontiguousarray(tail)
-        )
-        vw["shift"][k] = shift
-        vw["scale"][k] = scale
+        vw = batch.arrays
+        r0 = batch.rows
+        vw["win"][r0 : r0 + n] = prepped.win
+        vw["feats"][r0 : r0 + n] = prepped.feats
+        vw["shift"][r0 : r0 + n] = prepped.shift
+        vw["scale"][r0 : r0 + n] = prepped.scale
+        vw["vlen"][r0 : r0 + n] = prepped.vlen
         batch.meta.append((name, read, r0))
         batch.rows = r0 + n
-        batch.sig = s0 + tail_len
         return True
 
     def _finalize(self, batch: _Batch) -> None:
-        vw = self._views(batch.buf)
-        k = len(batch.meta)
-        vw["sbounds"][k:] = batch.sig
-        vw["bbounds"][k:] = batch.rows
-        vw["shift"][k:] = 1.0                # pad reads: no div-by-zero
-        vw["scale"][k:] = 1.0
+        vw = batch.arrays
+        vw["scale"][batch.rows :] = 1.0      # pad rows: no div-by-zero
         w_needed = max(batch.rows - self.window, 0)
         w_valid = min(-(-w_needed // self.block) * self.block, self.w_max)
         vw["wvalid"][0] = w_valid
-        # repeat-last padding keeps starts monotone inside the pad segment
-        if batch.rows and batch.rows < self.n_rows:
-            vw["starts"][batch.rows :] = vw["starts"][batch.rows - 1]
 
     def _submit_group(self, batches: list[_Batch]) -> _Pending:
         """One sharded dispatch: batch slot d runs on mesh device d."""
-        bufs = np.zeros((self.n_dev, self._layout["total"]), np.uint8)
         metas = []
-        for i, b in enumerate(batches):
+        for b in batches:
             self._finalize(b)
-            bufs[i] = b.buf
             metas.append(b.meta)
+        if self.n_dev == 1 and len(batches) == 1:
+            bufs = {k: v[None] for k, v in batches[0].arrays.items()}
+        else:
+            pads = [self._new_batch() for _ in range(self.n_dev - len(batches))]
+            for p in pads:
+                self._finalize(p)
+            group = batches + pads
+            bufs = {
+                k: np.stack([b.arrays[k] for b in group])
+                for k in self._layout
+            }
         out = self._fn(self._ws, jax.device_put(bufs, self._buf_sharding))
         leaves = jax.tree_util.tree_leaves(out)
 
@@ -425,7 +371,11 @@ class StreamingReviser:
 
     def revise_stream(self, items, errors: list | None = None,
                       emit: str = "seq"):
-        """items: iterable of (fast5_name, ReadData).
+        """items: iterable of (fast5_name, ReadData | PreppedRead).
+
+        PreppedRead items (from infer.hostpipe worker processes) are packed
+        directly; ReadData items are prepped inline (signal.host_prep) on
+        the calling thread.
 
         Yields (name, read, revised_seq, qual_or_None) in input order; with
         emit="labels" yields (name, read, y1, y2) raw per-window class labels
@@ -487,10 +437,22 @@ class StreamingReviser:
                         yield (name, read) + fallback(read)
 
         for name, read in items:
-            if (
-                read.n_bases < 2
-                or read.read_start_rel_to_raw >= len(read.signal)
-            ):
+            bad = read.n_bases < 2 or (
+                isinstance(read, ReadData)
+                and read.read_start_rel_to_raw >= len(read.signal)
+            )
+            prepped = None
+            if not bad:
+                try:
+                    prepped = (
+                        read if isinstance(read, PreppedRead) else prep_read(read)
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-read degradation
+                    if errors is not None:
+                        errors.append((name, exc))
+                    yield (name, read) + fallback(read)
+                    continue
+            if bad:
                 exc = ValueError(
                     f"read has too few bases ({read.n_bases}) or no signal"
                 )
@@ -498,13 +460,12 @@ class StreamingReviser:
                     errors.append((name, exc))
                 yield (name, read) + fallback(read)
                 continue
-            if not self._add_read(batch, name, read):
+            if not self._add_read(batch, name, read, prepped):
                 flush()
-                if not self._add_read(batch, name, read):
+                if not self._add_read(batch, name, read, prepped):
                     # single read exceeds the batch budget — degrade
                     exc = ValueError(
-                        f"read too large for batch: {read.n_bases} bases, "
-                        f"{len(read.signal)} samples"
+                        f"read too large for batch: {read.n_bases} bases"
                     )
                     if errors is not None:
                         errors.append((name, exc))

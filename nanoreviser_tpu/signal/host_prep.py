@@ -1,0 +1,164 @@
+"""Host-side per-read preparation: raw int16 windows + f16 features.
+
+Why this exists (measured on the attached TPU, 131k-window batch):
+the original design gathered 50-sample signal windows ON DEVICE with a
+vmapped ``lax.dynamic_slice`` — 158 ms/batch, 3x the cost of the entire
+fused dual-model Pallas kernel (50 ms). A TPU is a tiled vector machine;
+131k independent unaligned 50-element slices is the worst op to give it.
+The same gather is a single numpy fancy-index on the host (~0.3 ms/read,
+C-speed memcpy), so the production pipeline now ships *pre-gathered* raw
+int16 windows and final f16 feature rows, and the device does only
+elementwise normalize/mask work before the model kernel.
+
+Per-read host cost (2-core host): ~1.2 ms on top of the ~4 ms fast5
+decode; both run on worker processes (infer.hostpipe), so the device no
+longer waits on a 173 ms/batch preprocessing program.
+
+Behavioral contract is identical to signal.segmentation.segment_signal /
+signal.features.assemble_features (reference preprocessing.py:85-170,
+nanorevtrainutils.py:160-169):
+
+* window [st-25, st+25) clamped to the signal tail, zero-padded with the
+  reference's quirky symmetric split (left = ceil(pad/2)) — the zeroing
+  happens on device after normalization (a raw 0 DAC value is NOT signal
+  zero), via the shipped per-row valid length;
+* event moments are exact int64 prefix-sum population moments over
+  [st, next_st) (last base: the 3/5-rule duration), in f64 — *better*
+  parity with the reference than the old on-device f32 block-local sums;
+* the 6 feature columns are [color/300, ev_mean/shift, ev_std/scale,
+  duration/10, ab_mean, ab_std], rounded once to f16 (the model consumes
+  bf16, which is coarser, so f16 rounding is below input quantization).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.fast5 import ReadData
+from .features import BASE_COLOR_TABLE, _ascii_codes
+from .segmentation import mad_normalizers_int16
+
+QUERY_LEN = 50
+
+
+@dataclass
+class PreppedRead:
+    """Everything the device batch needs from one read, host-precomputed."""
+
+    bases: str
+    win: np.ndarray        # [N, QUERY_LEN] int16 raw DAC (garbage cols masked on device)
+    vlen: np.ndarray       # [N] uint8 valid window length (left pad derived)
+    feats: np.ndarray      # [N, 6] float16 final per-base features
+    shift: float           # per-read median (raw DAC units)
+    scale: float           # per-read MAD
+
+    @property
+    def n_bases(self) -> int:
+        return len(self.vlen)
+
+
+def prep_read(rd: ReadData, query_len: int = QUERY_LEN) -> PreppedRead:
+    """ReadData -> PreppedRead, fully vectorized numpy (int32 index math;
+    the tail is edge-padded so the window gather needs no clip)."""
+    tail = rd.signal[rd.read_start_rel_to_raw :]
+    if not tail.flags.c_contiguous:
+        tail = np.ascontiguousarray(tail)
+    if rd.mad is not None:
+        shift, scale = rd.mad
+    else:
+        shift, scale = mad_normalizers_int16(tail)
+    n_samples = len(tail)
+    starts = np.asarray(rd.starts, np.int32)
+    n = len(starts)
+
+    ahead = query_len // 2
+    win_st = np.maximum(starts - ahead, 0)
+    win_en = np.minimum(starts + (query_len - ahead), n_samples)
+    vlen = win_en - win_st
+    left = (query_len - vlen + 1) // 2
+
+    # gather positions range over [-q, n_samples + q); pad the tail by q on
+    # both sides so no clip pass is needed (out-of-range cols are masked on
+    # device via vlen anyway)
+    padded = np.empty(n_samples + 2 * query_len, np.int16)
+    padded[:query_len] = 0
+    padded[query_len : query_len + n_samples] = tail
+    padded[query_len + n_samples :] = 0
+    cols = np.arange(query_len, dtype=np.int32)
+    pos = (win_st - left + query_len)[:, None] + cols[None, :]
+    win = padded[pos]
+
+    # exact prefix-sum event moments over [st, next_st); squares fit int32
+    # (|DAC| < 2^15 -> x^2 < 2^30), accumulation in int64 via cumsum dtype
+    last_dur = int(rd.lengths[-1])
+    ends = np.empty(n, np.int32)
+    ends[:-1] = starts[1:]
+    ends[-1] = starts[-1] + last_dur
+    sig_i32 = tail.astype(np.int32)
+    csum = np.empty(n_samples + 1, np.int64)
+    csum[0] = 0
+    np.cumsum(sig_i32, dtype=np.int64, out=csum[1:])
+    csum2 = np.empty(n_samples + 1, np.int64)
+    csum2[0] = 0
+    np.cumsum(sig_i32 * sig_i32, dtype=np.int64, out=csum2[1:])
+    cnt = np.maximum((ends - starts).astype(np.float64), 1.0)
+    ssum = (csum[ends] - csum[starts]).astype(np.float64)
+    ssum2 = (csum2[ends] - csum2[starts]).astype(np.float64)
+    mean = ssum / cnt
+    std = np.sqrt(np.maximum(ssum2 / cnt - mean * mean, 0.0))
+
+    feats = np.empty((n, 6), np.float16)
+    feats[:, 0] = BASE_COLOR_TABLE[_ascii_codes(rd.bases)] * (1.0 / 300.0)
+    feats[:, 1] = mean / shift
+    feats[:, 2] = std / scale
+    feats[:, 3] = np.asarray(rd.lengths, np.float64) * 0.1
+    feats[:, 4] = rd.ab_mean
+    feats[:, 5] = rd.ab_std
+
+    return PreppedRead(
+        bases=rd.bases,
+        win=np.ascontiguousarray(win, dtype=np.int16),
+        vlen=vlen.astype(np.uint8),
+        feats=feats,
+        shift=float(shift),
+        scale=float(scale),
+    )
+
+
+def prep_fast5(
+    path: str,
+    basecall_group: str = "Basecall_1D_000",
+    basecall_subgroup: str = "BaseCalled_template",
+) -> PreppedRead:
+    """Decode + prep one fast5 (the hostpipe worker entrypoint)."""
+    from ..io.fast5 import get_read_data
+
+    return prep_read(get_read_data(path, basecall_group, basecall_subgroup))
+
+
+# ---- multiprocessing worker entrypoints (infer.hostpipe) -------------------
+# These live HERE, not in infer.hostpipe, so that spawn workers unpickling
+# them import only numpy/h5py modules — never jax (whose TPU client must not
+# be initialized in a second process).
+
+_WORKER_GROUP = "Basecall_1D_000"
+_WORKER_SUBGROUP = "BaseCalled_template"
+
+
+def _pool_init(group: str, subgroup: str) -> None:
+    global _WORKER_GROUP, _WORKER_SUBGROUP
+    _WORKER_GROUP = group
+    _WORKER_SUBGROUP = subgroup
+    import os
+
+    # keep worker numpy single-threaded: 2 host cores, N workers
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+
+def _pool_prep_one(path: str):
+    try:
+        return prep_fast5(path, _WORKER_GROUP, _WORKER_SUBGROUP), None
+    except Exception as exc:  # noqa: BLE001 — per-read degradation
+        return None, str(exc)

@@ -65,13 +65,18 @@ def mad_normalizers_int16(signal_tail: np.ndarray) -> tuple[float, float]:
     x = np.asarray(signal_tail)
     assert x.dtype == np.int16, x.dtype
     n = len(x)
-    xi = x.astype(np.int32) + 32768
-    counts = np.bincount(xi, minlength=65536)
-    shift = _hist_median_int(counts, n) - 32768.0
+    # range-bounded histograms: real reads span ~2.5k distinct DAC values,
+    # so offsetting by the minimum keeps the bincount output (and its
+    # cumsum in _hist_median_int) tiny instead of 65536/131072 bins
+    mn = int(x.min())
+    xi = x.astype(np.int32)
+    xi -= mn
+    counts = np.bincount(xi)
+    shift = _hist_median_int(counts, n) + mn
     # 2*shift is integral, so 2*|x - shift| is an exact integer
     two_shift = int(round(2.0 * shift))
-    dev2 = np.abs(2 * xi - (2 * 32768 + two_shift))
-    scale = _hist_median_int(np.bincount(dev2, minlength=2 * 65536), n) * 0.5
+    dev2 = np.abs(2 * xi - (two_shift - 2 * mn))
+    scale = _hist_median_int(np.bincount(dev2), n) * 0.5
     return shift, scale
 
 

@@ -1,62 +1,49 @@
-"""Segmented batch device preprocessing vs the exact host path (CPU jax)."""
+"""Host prep + device elementwise finishing vs the exact host path (CPU jax)."""
 
 import jax.numpy as jnp
 import numpy as np
 
 from nanoreviser_tpu.io import get_read_data
-from nanoreviser_tpu.signal import assemble_features, base_colors, segment_signal
+from nanoreviser_tpu.signal import assemble_features, segment_signal
 from nanoreviser_tpu.signal.device_prep import device_preprocess_batch
+from nanoreviser_tpu.signal.host_prep import prep_read
 from nanoreviser_tpu.signal.segmentation import mad_normalizers_int16
 
 
 def test_batch_prep_matches_host_per_read(unitest_fast5_files):
-    """Two real reads concatenated into one padded buffer: every read's
-    windows/features must equal the exact single-read host path."""
+    """Two real reads prepped + concatenated into one padded buffer: every
+    read's windows/features must equal the exact single-read host path."""
     reads = [get_read_data(str(p)) for p in unitest_fast5_files[:2]]
-    tails = [rd.signal[rd.read_start_rel_to_raw :] for rd in reads]
+    prepped = [prep_read(rd) for rd in reads]
 
-    r_max = 4
-    s_pad = 1 << int(np.ceil(np.log2(sum(len(t) for t in tails) + 64)))
-    n_pad = sum(rd.n_bases for rd in reads) + 53
+    n_pad = sum(p.n_bases for p in prepped) + 53
+    win = np.zeros((n_pad, 50), np.int16)
+    vlen = np.zeros(n_pad, np.uint8)
+    feats_in = np.zeros((n_pad, 6), np.float16)
+    shift_b = np.zeros(n_pad, np.float32)
+    scale_b = np.ones(n_pad, np.float32)
 
-    sig = np.zeros(s_pad, np.int16)
-    starts = np.zeros(n_pad, np.int32)
-    abm = np.zeros(n_pad, np.float32)
-    abs_ = np.zeros(n_pad, np.float32)
-    col = np.zeros(n_pad, np.float32)
-    sb = np.zeros(r_max + 1, np.int32)
-    bb = np.zeros(r_max + 1, np.int32)
-    shift_r = np.ones(r_max, np.float32)
-    scale_r = np.ones(r_max, np.float32)
-
-    s_off = n_off = 0
-    for k, (rd, tail) in enumerate(zip(reads, tails)):
-        sig[s_off : s_off + len(tail)] = tail
-        n = rd.n_bases
-        starts[n_off : n_off + n] = rd.starts
-        abm[n_off : n_off + n] = rd.ab_mean
-        abs_[n_off : n_off + n] = rd.ab_std
-        col[n_off : n_off + n] = base_colors(rd.bases)
-        sb[k], bb[k] = s_off, n_off
-        shift_r[k], scale_r[k] = mad_normalizers_int16(tail)
-        s_off += len(tail)
+    n_off = 0
+    for p in prepped:
+        n = p.n_bases
+        win[n_off : n_off + n] = p.win
+        vlen[n_off : n_off + n] = p.vlen
+        feats_in[n_off : n_off + n] = p.feats
+        shift_b[n_off : n_off + n] = p.shift
+        scale_b[n_off : n_off + n] = p.scale
         n_off += n
-    sb[len(reads) :] = s_off
-    bb[len(reads) :] = n_off
-    starts[n_off:] = starts[n_off - 1]
 
     windows, feats = device_preprocess_batch(
-        jnp.asarray(sig), jnp.asarray(starts), jnp.asarray(abm),
-        jnp.asarray(abs_), jnp.asarray(col),
-        jnp.asarray(sb), jnp.asarray(bb),
-        jnp.asarray(shift_r), jnp.asarray(scale_r),
+        jnp.asarray(win), jnp.asarray(vlen), jnp.asarray(feats_in),
+        jnp.asarray(shift_b), jnp.asarray(scale_b),
     )
     windows = np.asarray(windows)
     feats = np.asarray(feats)
 
     n_off = 0
-    for rd, tail in zip(reads, tails):
+    for rd in reads:
         n = rd.n_bases
+        tail = rd.signal[rd.read_start_rel_to_raw :]
         seg = segment_signal(tail, rd.starts, int(rd.lengths[-1]))
         host_feats = assemble_features(
             rd.bases, seg.event_mean, seg.event_std, rd.lengths,
@@ -65,14 +52,31 @@ def test_batch_prep_matches_host_per_read(unitest_fast5_files):
         w = windows[n_off : n_off + n]
         f = feats[n_off : n_off + n]
         np.testing.assert_allclose(w, seg.windows, atol=2e-5)
-        # colors, durations exact; mean/std via f32 prefix sums ~1e-3 DAC
-        np.testing.assert_allclose(f[:, 0], host_feats[:, 0], atol=1e-6)
-        np.testing.assert_allclose(f[:, 1], host_feats[:, 1], atol=1e-4)
-        np.testing.assert_allclose(f[:, 2], host_feats[:, 2], atol=5e-3)
-        np.testing.assert_allclose(f[:, 3], host_feats[:, 3], atol=1e-6)
-        np.testing.assert_allclose(f[:, 4], host_feats[:, 4], atol=1e-6)
-        np.testing.assert_allclose(f[:, 5], host_feats[:, 5], atol=1e-6)
+        # features round once through f16 (model input is coarser bf16);
+        # f16 eps ~ 1e-3 relative
+        np.testing.assert_allclose(f, host_feats, rtol=1e-3, atol=2e-3)
         n_off += n
+
+    # pad rows: fully masked windows (vlen 0), finite values throughout
+    assert np.all(windows[n_off:] == 0.0)
+    assert np.all(np.isfinite(windows))
+
+
+def test_prep_read_edge_windows(unitest_fast5_files):
+    """First/last bases have clamped windows: vlen < 50 and the device mask
+    reproduces the reference's symmetric zero pad exactly."""
+    rd = get_read_data(str(unitest_fast5_files[0]))
+    p = prep_read(rd)
+    assert p.vlen[0] < 50          # first base clamps at the tail start
+    assert np.all(p.vlen[1:-1][rd.starts[1:-1] >= 25] >= 1)
+    tail = rd.signal[rd.read_start_rel_to_raw :]
+    seg = segment_signal(tail, rd.starts, int(rd.lengths[-1]))
+    windows, _ = device_preprocess_batch(
+        jnp.asarray(p.win), jnp.asarray(p.vlen), jnp.asarray(p.feats),
+        jnp.full(p.n_bases, p.shift, np.float32),
+        jnp.full(p.n_bases, p.scale, np.float32),
+    )
+    np.testing.assert_allclose(np.asarray(windows), seg.windows, atol=2e-5)
 
 
 def test_hist_median_matches_numpy(unitest_fast5_files):

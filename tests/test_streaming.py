@@ -46,7 +46,7 @@ def small_streaming(ecoli_model_paths):
 
     m1, m2 = ecoli_model_paths
     eng = StreamingReviser(
-        str(m1), str(m2), batch_windows=1024, sig_ratio=24, r_max=8,
+        str(m1), str(m2), batch_windows=1024, r_max=8,
         devices=jax.devices()[:1],
     )
     assert not eng._use_pallas  # CPU test exercises the jnp fallback
@@ -129,7 +129,7 @@ def test_dp_sharded_batches_match_single_device(
         pytest.skip("needs >= 2 (virtual) devices")
     m1, m2 = ecoli_model_paths
     eng = StreamingReviser(
-        str(m1), str(m2), batch_windows=1024, sig_ratio=24, r_max=2,
+        str(m1), str(m2), batch_windows=1024, r_max=2,
         devices=jax.devices()[:2],
     )
     assert eng.n_dev == 2
@@ -146,7 +146,7 @@ def test_dp_sharded_batches_match_single_device(
     for name, rd in reads:
         assert got[name] == small_streaming.revise_read(rd), name
     # the sharded buffer really spans both devices
-    bufs = np.zeros((2, eng._layout["total"]), np.uint8)
+    bufs = np.zeros((2, eng.n_rows, 50), np.int16)
     sharded = jax.device_put(bufs, eng._buf_sharding)
     assert len({s.device for s in sharded.addressable_shards}) == 2
 
@@ -159,7 +159,7 @@ def test_streaming_emits_qualities(ecoli_model_paths, truncated_read):
 
     m1, m2 = ecoli_model_paths
     eng = StreamingReviser(
-        str(m1), str(m2), batch_windows=1024, sig_ratio=24, r_max=8,
+        str(m1), str(m2), batch_windows=1024, r_max=8,
         emit_quality=True, devices=jax.devices()[:1],
     )
     [(name, _, seq, qual)] = list(eng.revise_stream([("r", truncated_read)]))
