@@ -3,18 +3,27 @@
 The 2-core host is the pipeline's second bottleneck after the device: fast5
 decode is ~4 ms/read of h5py/HDF5 work that does NOT release the GIL, so
 host threads cannot scale it — worker *processes* can. Each worker runs
-signal.host_prep.prep_fast5 (decode -> int16 window gather -> exact f64
-moments -> f16 features) and ships the compact PreppedRead (~1.5 MB) back;
-the main process only packs batch buffers, merges revisions, and writes.
+signal.host_prep.prep_fast5 (decode -> int16 window gather via the native
+C++ path -> exact moments -> f16 features); the big arrays (win/feats/vlen,
+~1 MB/read) travel back through a ring of /dev/shm slots as zero-copy numpy
+views — pickling them through the Pool's result pipe cost a measured
+~1.5 ms/read of main-process unpickle, more than the prep itself. Only the
+small fields (bases string, normalizers) ride the result pickle.
+
+Slot lifetime contract: stream() yields a PreppedRead whose win/feats/vlen
+VIEW the slot; the view is valid until the caller requests the NEXT item
+(the engine packs rows into its batch buffer immediately, so this is free).
+The slot is recycled on resumption.
 
 Workers use the "spawn" start method: the parent holds a live TPU client
 whose runtime threads and locks do not survive fork. Spawn costs ~1-2 s per
 worker once at startup, amortized over the stream; the worker entrypoints
-live in signal.host_prep so unpickling them never imports jax.
+live in signal.host_prep so unpickling them never imports jax. Slots are
+plain mmap'd files under /dev/shm (no multiprocessing.SharedMemory — its
+per-process resource tracker unlinks segments on worker exit).
 
 Submission is bounded (``prefetch``): a plain Pool.imap would buffer every
-result in an unbounded queue whenever the consumer is slower, holding
-gigabytes of prepped reads for large directories.
+result in an unbounded queue whenever the consumer is slower.
 
 Contract: results yield in input order as (name, prepped_or_None,
 error_or_None) — per-read failures carry the exception message so the
@@ -28,7 +37,19 @@ import collections
 import multiprocessing as mp
 import os
 
-from ..signal.host_prep import _pool_init, _pool_prep_one
+import numpy as np
+
+from ..signal.host_prep import (
+    QUERY_LEN,
+    PreppedRead,
+    _pool_init,
+    _pool_prep_one,
+    _pool_prep_to_slot,
+    slot_layout,
+)
+
+DEFAULT_SLOT_BASES = 131328          # > default engine n_rows; bigger reads
+                                     # fall back to the pickle transport
 
 
 class PrepPool:
@@ -42,49 +63,107 @@ class PrepPool:
         n_workers: int | None = None,
         basecall_group: str = "Basecall_1D_000",
         basecall_subgroup: str = "BaseCalled_template",
+        slot_bases: int = DEFAULT_SLOT_BASES,
+        n_slots: int = 8,
     ):
         if n_workers is None:
             n_workers = max(1, os.cpu_count() or 1)
         self.n_workers = n_workers
         self.group = basecall_group
         self.subgroup = basecall_subgroup
+        self.slot_bases = slot_bases
         self._pool = None
+        self._slot_paths: list[str] = []
+        self._slot_maps: list[np.ndarray] = []
         if n_workers > 0:
+            layout = slot_layout(slot_bases)
+            for i in range(n_slots):
+                path = f"/dev/shm/nanorev_prep_{os.getpid()}_{i}"
+                with open(path, "wb") as fp:
+                    fp.truncate(layout["total"])
+                self._slot_paths.append(path)
+                self._slot_maps.append(
+                    np.memmap(path, dtype=np.uint8, mode="r+")
+                )
             ctx = mp.get_context("spawn")
             self._pool = ctx.Pool(
                 n_workers, initializer=_pool_init,
                 initargs=(basecall_group, basecall_subgroup),
             )
 
-    def stream(self, base_dir: str, fns, prefetch: int = 48):
-        """Yields (fn, prepped_or_None, error_str_or_None) in input order."""
+    def _slot_views(self, slot: int, n_bases: int):
+        layout = slot_layout(self.slot_bases)
+        buf = self._slot_maps[slot]
+        win = np.frombuffer(
+            buf, np.int16, n_bases * QUERY_LEN, layout["win"]
+        ).reshape(n_bases, QUERY_LEN)
+        feats = np.frombuffer(
+            buf, np.float16, n_bases * 6, layout["feats"]
+        ).reshape(n_bases, 6)
+        vlen = np.frombuffer(buf, np.uint8, n_bases, layout["vlen"])
+        return win, feats, vlen
+
+    def stream(self, base_dir: str, fns, prefetch: int = 24):
+        """Yields (fn, prepped_or_None, error_str_or_None) in input order.
+
+        The yielded PreppedRead's arrays may view a shared-memory slot that
+        is recycled when the next item is requested — consume (pack/copy)
+        each item before advancing, as StreamingReviser does.
+        """
         if self._pool is None:
             _pool_init(self.group, self.subgroup)
             for fn in fns:
                 prepped, err = _pool_prep_one(os.path.join(base_dir, fn))
                 yield fn, prepped, err
             return
+        free = collections.deque(range(len(self._slot_paths)))
         queue: collections.deque = collections.deque()
-        for fn in fns:
-            queue.append(
-                (fn, self._pool.apply_async(
-                    _pool_prep_one, (os.path.join(base_dir, fn),)
-                ))
+
+        def submit(fn):
+            slot = free.popleft() if free else -1
+            path = self._slot_paths[slot] if slot >= 0 else None
+            fut = self._pool.apply_async(
+                _pool_prep_to_slot,
+                (os.path.join(base_dir, fn), path, self.slot_bases),
             )
-            if len(queue) >= prefetch:
-                name, fut = queue.popleft()
-                prepped, err = fut.get()
-                yield name, prepped, err
+            queue.append((fn, slot, fut))
+
+        def emit(fn, slot, fut):
+            small, err = fut.get()
+            if err is not None:
+                prepped = None
+            elif isinstance(small, PreppedRead):
+                prepped = small            # pickle-transport fallback
+            else:
+                n_bases, shift, scale, bases = small
+                win, feats, vlen = self._slot_views(slot, n_bases)
+                prepped = PreppedRead(
+                    bases=bases, win=win, vlen=vlen, feats=feats,
+                    shift=shift, scale=scale,
+                )
+            yield fn, prepped, err
+            if slot >= 0:
+                free.append(slot)          # recycled once the caller advances
+
+        for fn in fns:
+            submit(fn)
+            if len(queue) >= prefetch or not free:
+                yield from emit(*queue.popleft())
         while queue:
-            name, fut = queue.popleft()
-            prepped, err = fut.get()
-            yield name, prepped, err
+            yield from emit(*queue.popleft())
 
     def close(self) -> None:
         if self._pool is not None:
             self._pool.terminate()
             self._pool.join()
             self._pool = None
+        self._slot_maps = []
+        for path in self._slot_paths:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+        self._slot_paths = []
 
     def __enter__(self):
         return self

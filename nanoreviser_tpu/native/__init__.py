@@ -27,7 +27,7 @@ import numpy as np
 _LIB = None
 _TRIED = False
 
-ABI_VERSION = 1
+ABI_VERSION = 2
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 LIB_PATH = os.path.join(_PKG_DIR, "libnanorev.so")
@@ -64,6 +64,17 @@ def _load():
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_void_p, ctypes.c_int64,      # ops_out, cap
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.nr_prep_read.restype = ctypes.c_int
+        lib.nr_prep_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,      # tail, n_samples
+            ctypes.c_void_p, ctypes.c_int64,      # starts, n_bases
+            ctypes.c_void_p,                      # bases (ascii)
+            ctypes.c_void_p,                      # durations f32
+            ctypes.c_void_p, ctypes.c_void_p,     # ab_mean, ab_std f32
+            ctypes.c_int,                         # qlen
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # win, vlen, feats
         ]
         _LIB = lib
     except OSError:
@@ -105,3 +116,56 @@ def banded_sw_native(
     if n_ops < 0:
         raise RuntimeError("nr_banded_sw failed")
     return ops[:n_ops].copy(), int(j_start.value), float(score.value)
+
+
+def prep_read_native_arrays(
+    tail: np.ndarray,
+    starts: np.ndarray,
+    bases: str,
+    durations: np.ndarray,
+    ab_mean: np.ndarray,
+    ab_std: np.ndarray,
+    query_len: int,
+    mad: tuple | None = None,
+    out: tuple | None = None,
+):
+    """(win i16 [N,Q], vlen u8 [N], feats f16 [N,6], shift, scale) via
+    nr_prep_read — the GIL is released for the whole call.
+
+    ``out``: optional (win, vlen, feats) C-contiguous arrays to fill in
+    place (e.g. shared-memory slot views) instead of allocating.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libnanorev.so not available")
+    tail = np.ascontiguousarray(tail, np.int16)
+    starts32 = np.ascontiguousarray(starts, np.int32)
+    base_bytes = bases.encode("ascii")
+    dur32 = np.ascontiguousarray(durations, np.float32)
+    abm = np.ascontiguousarray(ab_mean, np.float32)
+    abs_ = np.ascontiguousarray(ab_std, np.float32)
+    n = len(starts32)
+    if out is not None:
+        win, vlen, feats = out
+        assert win.shape == (n, query_len) and win.dtype == np.int16
+        assert vlen.shape == (n,) and vlen.dtype == np.uint8
+        assert feats.shape == (n, 6) and feats.dtype == np.float16
+    else:
+        win = np.empty((n, query_len), np.int16)
+        vlen = np.empty(n, np.uint8)
+        feats = np.empty((n, 6), np.float16)
+    shift = ctypes.c_double(mad[0] if mad else -1e31)
+    scale = ctypes.c_double(mad[1] if mad else -1e31)
+    rc = lib.nr_prep_read(
+        tail.ctypes.data, len(tail),
+        starts32.ctypes.data, n,
+        base_bytes,
+        dur32.ctypes.data,
+        abm.ctypes.data, abs_.ctypes.data,
+        query_len,
+        ctypes.byref(shift), ctypes.byref(scale),
+        win.ctypes.data, vlen.ctypes.data, feats.ctypes.data,
+    )
+    if rc != 0:
+        raise RuntimeError("nr_prep_read failed")
+    return win, vlen, feats, float(shift.value), float(scale.value)

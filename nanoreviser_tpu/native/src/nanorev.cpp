@@ -18,6 +18,8 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <cmath>
+#include <immintrin.h>
 
 namespace {
 
@@ -134,6 +136,116 @@ int nr_banded_sw(
 }
 
 // Library version tag (lets the loader detect stale binaries).
-int nr_abi_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Per-read inference prep: the C++ counterpart of signal/host_prep.prep_read
+// (reference preprocessing.py:85-170 semantics). One pass over the signal
+// computes the exact histogram MAD normalizers (numpy-median semantics,
+// identical to segmentation.mad_normalizers_int16), exact event moments, the
+// raw int16 window gather with the reference's clamp + symmetric-pad split,
+// and the 6 f16 feature columns. ctypes releases the GIL for the call, so
+// hostpipe workers/threads scale it across cores; ~0.3 ms/read replaces
+// ~3.4 ms of numpy.
+//
+//   tail      : int16 raw signal from read_start_rel_to_raw on          [S]
+//   starts    : int32 base starts relative to the tail (monotone)       [N]
+//   bases     : ascii base characters                                   [N]
+//   durations : f32 per-base durations incl. the 3/5-rule tail          [N]
+//   ab_mean/ab_std : f32 event-table moments                            [N]
+//   shift/scale    : in: <= -1e30 means "compute here"; out: the values used
+//   win_out   : int16 [N, qlen] raw window samples (cols outside the valid
+//               span are zero; the DEVICE re-zeroes them post-normalize)
+//   vlen_out  : u8 [N] valid window length
+//   feats_out : u16 [N, 6] IEEE-754 binary16 bits
+// Returns 0, or -1 on invalid input.
+
+int nr_prep_read(
+    const int16_t* tail, int64_t n_samples,
+    const int32_t* starts, int64_t n_bases,
+    const uint8_t* bases,
+    const float* durations,
+    const float* ab_mean, const float* ab_std,
+    int qlen,
+    double* shift_io, double* scale_io,
+    int16_t* win_out, uint8_t* vlen_out, uint16_t* feats_out) {
+  if (n_samples < 1 || n_bases < 1 || qlen < 2 || qlen > 255) return -1;
+
+  // --- exact histogram median / MAD (numpy semantics: mean of the two
+  // middle ranks). Matches segmentation._hist_median_int bit-for-bit.
+  double shift = *shift_io, scale = *scale_io;
+  if (shift <= -1e30) {
+    int16_t mn = tail[0], mx = tail[0];
+    for (int64_t i = 1; i < n_samples; ++i) {
+      mn = std::min(mn, tail[i]);
+      mx = std::max(mx, tail[i]);
+    }
+    const int span = int(mx) - int(mn) + 1;
+    std::vector<int64_t> hist(span, 0);
+    for (int64_t i = 0; i < n_samples; ++i) hist[tail[i] - mn]++;
+    auto hist_median = [&](const std::vector<int64_t>& h, int64_t n) {
+      const int64_t lo_rank = (n - 1) / 2, hi_rank = n / 2;
+      int64_t csum = 0, lo = -1, hi = -1;
+      for (size_t b = 0; b < h.size(); ++b) {
+        csum += h[b];
+        if (lo < 0 && csum >= lo_rank + 1) lo = int64_t(b);
+        if (csum >= hi_rank + 1) { hi = int64_t(b); break; }
+      }
+      return (double(lo) + double(hi)) / 2.0;
+    };
+    shift = hist_median(hist, n_samples) + mn;
+    const int64_t two_shift = int64_t(std::llround(2.0 * shift));
+    std::vector<int64_t> hist2(2 * size_t(span) + 2, 0);
+    for (int64_t i = 0; i < n_samples; ++i) {
+      int64_t d = 2 * (int64_t(tail[i]) - mn) - (two_shift - 2 * int64_t(mn));
+      hist2[size_t(d < 0 ? -d : d)]++;
+    }
+    scale = hist_median(hist2, n_samples) * 0.5;
+    *shift_io = shift;
+    *scale_io = scale;
+  }
+
+  const int ahead = qlen / 2;
+  // color table: A=250 G=180 T=100 C=30, else 0 (features.py)
+  double color[256] = {0};
+  color['A'] = 250.0; color['G'] = 180.0; color['T'] = 100.0; color['C'] = 30.0;
+
+  const double inv_shift = 1.0 / shift, inv_scale = 1.0 / scale;
+  for (int64_t i = 0; i < n_bases; ++i) {
+    const int64_t st = starts[i];
+    // window gather with the reference's clamp; zero-fill the pad columns
+    const int64_t w_st = std::max<int64_t>(st - ahead, 0);
+    const int64_t w_en = std::min<int64_t>(st + (qlen - ahead), n_samples);
+    const int64_t vl = std::max<int64_t>(w_en - w_st, 0);
+    const int64_t left = (qlen - vl + 1) / 2;
+    int16_t* row = win_out + i * qlen;
+    std::memset(row, 0, size_t(qlen) * sizeof(int16_t));
+    if (vl > 0) std::memcpy(row + left, tail + w_st, size_t(vl) * sizeof(int16_t));
+    vlen_out[i] = uint8_t(vl);
+
+    // exact event moments over [st, en)
+    const int64_t en_raw =
+        (i + 1 < n_bases) ? starts[i + 1] : st + int64_t(durations[i]);
+    const int64_t en = std::min<int64_t>(en_raw, n_samples);
+    int64_t s1 = 0, s2 = 0;
+    for (int64_t j = st; j < en; ++j) {
+      const int64_t v = tail[j];
+      s1 += v;
+      s2 += v * v;
+    }
+    const double cnt = double(std::max<int64_t>(en - st, 1));
+    const double mean = double(s1) / cnt;
+    const double var = std::max(double(s2) / cnt - mean * mean, 0.0);
+
+    uint16_t* fr = feats_out + i * 6;
+    fr[0] = _cvtss_sh(float(color[bases[i]] * (1.0 / 300.0)), _MM_FROUND_TO_NEAREST_INT);
+    fr[1] = _cvtss_sh(float(mean * inv_shift), _MM_FROUND_TO_NEAREST_INT);
+    fr[2] = _cvtss_sh(float(std::sqrt(var) * inv_scale), _MM_FROUND_TO_NEAREST_INT);
+    fr[3] = _cvtss_sh(durations[i] * 0.1f, _MM_FROUND_TO_NEAREST_INT);
+    fr[4] = _cvtss_sh(ab_mean[i], _MM_FROUND_TO_NEAREST_INT);
+    fr[5] = _cvtss_sh(ab_std[i], _MM_FROUND_TO_NEAREST_INT);
+  }
+  return 0;
+}
+
+int nr_abi_version() { return 2; }
 
 }  // extern "C"

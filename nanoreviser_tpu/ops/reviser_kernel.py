@@ -46,7 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 H1, H2, H3, H4 = 16, 64, 128, 64   # true hidden sizes
-GP = 128                           # gate pitch: every gate padded to one tile
+GP = 128                           # lane tile width
+P1, P2, P4 = 32, 64, 64            # per-layer gate pitches (v4 packing)
 NB_MAX = 6                         # model1 class count; model2 padded to it
 
 
@@ -59,6 +60,28 @@ def _mm(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+
+
+def _roll(x, shift: int):
+    """Circular lane shift (lane l -> (l + shift) % lanes)."""
+    return pltpu.roll(x, shift, axis=1)
+
+
+def _pack_pair(f, b, h: int):
+    """One-tile direction pack: fwd lanes [0,h) + bwd rolled to [h,2h).
+
+    Mosaic's rotate only supports 32-bit data, so the bf16 hidden states
+    round-trip through f32 (exact) for the roll.
+    """
+    return (
+        f.astype(jnp.float32) + _roll(b.astype(jnp.float32), h)
+    ).astype(jnp.bfloat16)
+
+
+def _mask_lanes(x, n: int):
+    """Zero lanes >= n."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    return jnp.where(lane < n, x, 0)
 
 
 def _scratch_rows(block: int, t_len: int) -> int:
@@ -82,7 +105,17 @@ def _stack_core(
 ):
     """LSTM stack + heads from pre-projected layer-1/layer-3 inputs.
 
-    p1f/p1b: per-t [block, 4*GP] f32 layer-1 pre-activations (x @ wi1 + b1).
+    v4 packing: each layer's gates live at a per-layer pitch (P1=32, P2=64,
+    GP, P4=64) instead of one 128-lane tile per gate, cutting padded matmul
+    FLOPs ~1.9x. Gate extraction is masked whole-tile activations plus
+    static lane rolls (pltpu.roll — single VPU ops), never unaligned lane
+    slices. Direction pairs pack into ONE tile (fwd at lanes [0,H), bwd
+    rolled to [H,2H)) so the next layer's input projection reads a single
+    tile. Dead-lane algebra (zero weight rows/biases -> tanh(0)=0 carries
+    zeros through the recurrence) plus an explicit post-step mask keep
+    packed lanes clean.
+
+    p1f/p1b: per-t [block, GP] f32 layer-1 pre-activations (pitch P1).
     p3f/p3b: per-t [block, 4*GP] f32 signal contributions to layer 3.
     l2_extra: None (sig folded into p3) — kept for shape clarity.
     Weight refs carry a leading model axis of block-size 1 (grid dim 0
@@ -94,7 +127,7 @@ def _stack_core(
     del l2_extra
 
     def run_direction(step_in, wh_ref, t_order):
-        """Unrolled LSTM pass with 128-lane-padded gates/states."""
+        """Pitch-GP pass (layer 3): aligned [B, GP] tile slices per gate."""
         wh = wh_ref[0]
         h = jnp.zeros((block, GP), bf16)
         c = jnp.zeros((block, GP), f32)
@@ -110,6 +143,42 @@ def _stack_core(
             outs[t] = h
         return outs
 
+    def run_dir_p64(step_in, wh_ref, t_order):
+        """Pitch-64 pass (layers 2/4, H=64): z is [B, 2*GP] — tile0 holds
+        [i|f], tile1 holds [g|o]. i/g align lane-for-lane; f and o roll by
+        64 to meet the cell lanes [0, 64)."""
+        wh = wh_ref[0]                           # [GP, 2*GP], rows [0,64) real
+        h = jnp.zeros((block, GP), bf16)
+        c = jnp.zeros((block, GP), f32)
+        outs = [None] * t_len
+        for t in t_order:
+            z = step_in(t) + _mm(h, wh)          # [B, 2*GP] f32
+            t0 = z[:, :GP]
+            t1 = z[:, GP:]
+            a = _hs(t0)                          # [i | f]
+            gt = jnp.tanh(t1)                    # g valid on lanes [0,64)
+            ot = _hs(t1)                         # o valid on lanes [64,128)
+            c = _roll(a, 64) * c + a * gt        # f*c + i*g on lanes [0,64)
+            h = _mask_lanes(_roll(ot, 64) * jnp.tanh(c), 64).astype(bf16)
+            outs[t] = h
+        return outs
+
+    def run_dir_p32(step_in, wh_ref, t_order):
+        """Pitch-32 pass (layer 1, H=16): z is one [B, GP] tile holding
+        [i|f|g|o] at 32-lane slots; rolls bring f/g/o to the cell lanes."""
+        wh = wh_ref[0]                           # [GP, GP], rows [0,16) real
+        h = jnp.zeros((block, GP), bf16)
+        c = jnp.zeros((block, GP), f32)
+        outs = [None] * t_len
+        for t in t_order:
+            z = step_in(t) + _mm(h, wh)          # [B, GP] f32
+            a = _hs(z)                           # i@[0,32) f@[32,64) o@[96,128)
+            gt = jnp.tanh(z)                     # g@[64,96)
+            c = _roll(a, 96) * c + a * _roll(gt, 64)
+            h = _mask_lanes(_roll(a, 32) * jnp.tanh(c), 32).astype(bf16)
+            outs[t] = h
+        return outs
+
     fwd = list(range(t_len))
     bwd = list(range(t_len - 1, -1, -1))
 
@@ -118,13 +187,15 @@ def _stack_core(
         b = b_ref[0].astype(f32)
         return lambda t: _mm(inputs[t], wi) + b
 
-    l1f = run_direction(lambda t: p1f[t], wh1f_ref, fwd)
-    l1b = run_direction(lambda t: p1b[t], wh1b_ref, bwd)
-    l1 = [jnp.concatenate([f, b], axis=1) for f, b in zip(l1f, l1b)]
+    l1f = run_dir_p32(lambda t: p1f[t], wh1f_ref, fwd)
+    l1b = run_dir_p32(lambda t: p1b[t], wh1b_ref, bwd)
+    # direction pair packed into one tile: fwd H1 at lanes [0,16), bwd
+    # rolled to [16,32) (packed lanes beyond 2*H are zero by the masks)
+    l1 = [_pack_pair(f, b, H1) for f, b in zip(l1f, l1b)]
 
-    l2f = run_direction(proj(l1, wi2f_ref, b2f_ref), wh2f_ref, fwd)
-    l2b = run_direction(proj(l1, wi2b_ref, b2b_ref), wh2b_ref, bwd)
-    l2 = [jnp.concatenate([f, b], axis=1) for f, b in zip(l2f, l2b)]
+    l2f = run_dir_p64(proj(l1, wi2f_ref, b2f_ref), wh2f_ref, fwd)
+    l2b = run_dir_p64(proj(l1, wi2b_ref, b2b_ref), wh2b_ref, bwd)
+    l2 = [_pack_pair(f, b, H2) for f, b in zip(l2f, l2b)]
 
     p3m_f = proj(l2, wi3f_ref, b3f_ref)
     p3m_b = proj(l2, wi3b_ref, b3b_ref)
@@ -132,8 +203,9 @@ def _stack_core(
     l3b = run_direction(lambda t: p3m_b(t) + p3b[t], wh3b_ref, bwd)
     l3 = [jnp.concatenate([f, b], axis=1) for f, b in zip(l3f, l3b)]
 
-    l4f = run_direction(proj(l3, wi4f_ref, b4f_ref), wh4f_ref, fwd)
-    l4b = run_direction(proj(l3, wi4b_ref, b4b_ref), wh4b_ref, bwd)
+    l4f = run_dir_p64(proj(l3, wi4f_ref, b4f_ref), wh4f_ref, fwd)
+    l4b = run_dir_p64(proj(l3, wi4b_ref, b4b_ref), wh4b_ref, bwd)
+    l4 = [_pack_pair(f, b, H4) for f, b in zip(l4f, l4b)]
 
     d1w = d1w_ref[0]
     d1b = d1b_ref[0].astype(f32)
@@ -143,7 +215,7 @@ def _stack_core(
     mob = mob_ref[0].astype(f32)
     feat_acc = jnp.zeros((block, GP), f32)
     for t in range(t_len):
-        h = jnp.concatenate([l4f[t], l4b[t]], axis=1)                  # [B,256]
+        h = l4[t]                                                      # [B,128]
         h = jnp.maximum(_mm(h, d1w) + d1b, 0.0).astype(bf16)           # [B,128]
         h = jnp.maximum(_mm(h, d2w) + d2b, 0.0).astype(bf16)           # [B,128]
         m = jnp.maximum(_mm(h, mow) + mob, 0.0).astype(bf16)           # [B,128]
@@ -380,39 +452,43 @@ def _pad2(arr, rows, cols, row_idx=None):
     return out
 
 
-def _pad_gates_cols(arr, rows, row_idx=None):
-    """[*, 4H] -> [rows, 4*GP] placing gate g at columns [g*GP, g*GP+H)."""
+def _pad_gates_cols(arr, rows, row_idx=None, pitch=GP):
+    """[*, 4H] -> [rows, 4*pitch] placing gate g at cols [g*pitch, g*pitch+H)."""
     arr = np.asarray(arr, np.float32)
     hidden = arr.shape[1] // 4
-    out = np.zeros((rows, 4 * GP), np.float32)
+    assert hidden <= pitch
+    out = np.zeros((rows, 4 * pitch), np.float32)
     if row_idx is None:
         row_idx = np.arange(arr.shape[0])
     for g in range(4):
-        out[np.asarray(row_idx)[:, None], g * GP + np.arange(hidden)[None, :]] = arr[
-            :, g * hidden : (g + 1) * hidden
-        ]
+        out[
+            np.asarray(row_idx)[:, None], g * pitch + np.arange(hidden)[None, :]
+        ] = arr[:, g * hidden : (g + 1) * hidden]
     return out
 
 
-def _pad_gates_bias(b):
+def _pad_gates_bias(b, pitch=GP):
     b = np.asarray(b, np.float32)
     hidden = b.shape[0] // 4
-    out = np.zeros((1, 4 * GP), np.float32)
+    out = np.zeros((1, 4 * pitch), np.float32)
     for g in range(4):
-        out[0, g * GP : g * GP + hidden] = b[g * hidden : (g + 1) * hidden]
+        out[0, g * pitch : g * pitch + hidden] = b[g * hidden : (g + 1) * hidden]
     return out
 
 
 def pack_stack_weights(fused: dict, t_len: int, dtype=jnp.bfloat16) -> dict:
     """Kernel-ready padded weights from BN-folded params (models.fused).
 
-    Padded input-row layouts (matching the kernel's tile concatenations):
-      layer2 in  [2*GP]:      fwd H1 at 0,   bwd H1 at GP
-      layer3 in  [2*GP]:      fwd H2 at 0,   bwd H2 at GP
+    v4 layout: per-layer gate pitches (P1=32, P2=64, GP for layer 3, P4=64)
+    and single-tile direction packing:
+      layer2 in  [GP]:   fwd H1 at lanes 0,  bwd H1 at lanes H1
+      layer3 in  [GP]:   fwd H2 at lanes 0,  bwd H2 at lanes H2
         (the 64 signal rows of the reference's 192-row layer-3 input are
          split out as wi3fs/wi3bs [GP, 4*GP], applied per base row)
-      layer4 in  [2*GP]:      fwd H3 at 0,   bwd H3 at GP
-      heads  in  [2*GP]:      fwd H4 at 0,   bwd H4 at GP
+      layer4 in  [2*GP]: fwd H3 tile 0, bwd H3 tile 1 (tile concatenation)
+      heads  in  [GP]:   fwd H4 at lanes 0,  bwd H4 at lanes H4
+    Zero rows/biases everywhere keep dead lanes provably zero through the
+    recurrences (see _stack_core).
     """
     import ml_dtypes  # numpy bfloat16 without device dispatches
 
@@ -421,45 +497,42 @@ def pack_stack_weights(fused: dict, t_len: int, dtype=jnp.bfloat16) -> dict:
     w: dict = {}
 
     r1 = fused["read_rnn1"]
-    w["wi1f"] = cvt(_pad_gates_cols(r1["fwd"]["wi"], GP))   # rows 0-5 real
-    w["wi1b"] = cvt(_pad_gates_cols(r1["bwd"]["wi"], GP))
-    w["b1f"] = np.asarray(_pad_gates_bias(r1["fwd"]["b"]), np.float32)
-    w["b1b"] = np.asarray(_pad_gates_bias(r1["bwd"]["b"]), np.float32)
-    w["wh1f"] = cvt(_pad_gates_cols(r1["fwd"]["wh"], GP))
-    w["wh1b"] = cvt(_pad_gates_cols(r1["bwd"]["wh"], GP))
-
-    def rows_concat2(h):
-        return np.concatenate([np.arange(h), GP + np.arange(h)])
+    w["wi1f"] = cvt(_pad_gates_cols(r1["fwd"]["wi"], GP, pitch=P1))  # rows 0-5
+    w["wi1b"] = cvt(_pad_gates_cols(r1["bwd"]["wi"], GP, pitch=P1))
+    w["b1f"] = np.asarray(_pad_gates_bias(r1["fwd"]["b"], P1), np.float32)
+    w["b1b"] = np.asarray(_pad_gates_bias(r1["bwd"]["b"], P1), np.float32)
+    w["wh1f"] = cvt(_pad_gates_cols(r1["fwd"]["wh"], GP, pitch=P1))
+    w["wh1b"] = cvt(_pad_gates_cols(r1["bwd"]["wh"], GP, pitch=P1))
 
     r2 = fused["read_rnn2"]
-    idx2 = rows_concat2(H1)                       # layer-1 concat layout
+    # layer-1 pair packed into one tile: input rows 0..2*H1 map to lanes
     for d in ("fwd", "bwd"):
         tag = "2" + d[0]
-        w["wi" + tag] = cvt(_pad_gates_cols(r2[d]["wi"], 2 * GP, idx2))
-        w["wh" + tag] = cvt(_pad_gates_cols(r2[d]["wh"], GP))
-        w["b" + tag] = np.asarray(_pad_gates_bias(r2[d]["b"]))
+        w["wi" + tag] = cvt(_pad_gates_cols(r2[d]["wi"], GP, pitch=P2))
+        w["wh" + tag] = cvt(_pad_gates_cols(r2[d]["wh"], GP, pitch=P2))
+        w["b" + tag] = np.asarray(_pad_gates_bias(r2[d]["b"], P2))
 
     t1 = fused["total_rnn1"]
-    idx3 = rows_concat2(H2)                       # [fwd2, bwd2]
     sig_rows = 2 * H2                             # reference rows 128:192 = sig
     for d in ("fwd", "bwd"):
         tag = "3" + d[0]
         wi = np.asarray(t1[d]["wi"], np.float32)
-        w["wi" + tag] = cvt(_pad_gates_cols(wi[:sig_rows], 2 * GP, idx3))
+        # layer-2 pair packed into one tile: rows 0..2*H2 map to lanes
+        w["wi" + tag] = cvt(_pad_gates_cols(wi[:sig_rows], GP))
         w["wi" + tag + "s"] = cvt(_pad_gates_cols(wi[sig_rows:], GP))
         w["wh" + tag] = cvt(_pad_gates_cols(t1[d]["wh"], GP))
         w["b" + tag] = np.asarray(_pad_gates_bias(t1[d]["b"]))
 
     t2 = fused["total_rnn2"]
-    idx4 = rows_concat2(H3)
     for d in ("fwd", "bwd"):
         tag = "4" + d[0]
-        w["wi" + tag] = cvt(_pad_gates_cols(t2[d]["wi"], 2 * GP, idx4))
-        w["wh" + tag] = cvt(_pad_gates_cols(t2[d]["wh"], GP))
-        w["b" + tag] = np.asarray(_pad_gates_bias(t2[d]["b"]))
+        # layer-3 input is a genuine 2-tile concat (H3 = GP fills a tile)
+        w["wi" + tag] = cvt(_pad_gates_cols(t2[d]["wi"], 2 * GP, pitch=P4))
+        w["wh" + tag] = cvt(_pad_gates_cols(t2[d]["wh"], GP, pitch=P4))
+        w["b" + tag] = np.asarray(_pad_gates_bias(t2[d]["b"], P4))
 
-    idx_h = rows_concat2(H4)
-    w["d1w"] = cvt(_pad2(fused["dense1"]["w"], 2 * GP, GP, idx_h))     # ->128
+    # layer-4 pair packed into one tile: dense1 rows 0..2*H4 map to lanes
+    w["d1w"] = cvt(_pad2(fused["dense1"]["w"], GP, GP))                # ->128
     w["d1b"] = np.asarray(_pad2(fused["dense1"]["b"][None, :], 1, GP))
     w["d2w"] = cvt(_pad2(fused["dense2"]["w"], GP, GP))                # ->32
     w["d2b"] = np.asarray(_pad2(fused["dense2"]["b"][None, :], 1, GP))

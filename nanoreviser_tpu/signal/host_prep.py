@@ -59,7 +59,36 @@ class PreppedRead:
         return len(self.vlen)
 
 
-def prep_read(rd: ReadData, query_len: int = QUERY_LEN) -> PreppedRead:
+def prep_read(
+    rd: ReadData, query_len: int = QUERY_LEN, out: tuple | None = None
+) -> PreppedRead:
+    """ReadData -> PreppedRead.
+
+    Dispatches to the native C++ path (native.prep_read_native_arrays,
+    ~0.3 ms/read, GIL released) when libnanorev.so is available, else the
+    vectorized numpy path (~3.4 ms/read). Both are exact; parity is
+    asserted in tests/test_native.py. ``out``: optional (win, vlen, feats)
+    arrays to fill in place (native path only — e.g. hostpipe shm slots).
+    """
+    try:
+        from ..native import available, prep_read_native_arrays
+
+        if available():
+            tail = rd.signal[rd.read_start_rel_to_raw :]
+            win, vlen, feats, shift, scale = prep_read_native_arrays(
+                tail, rd.starts, rd.bases, rd.lengths,
+                rd.ab_mean, rd.ab_std, query_len, mad=rd.mad, out=out,
+            )
+            return PreppedRead(
+                bases=rd.bases, win=win, vlen=vlen, feats=feats,
+                shift=shift, scale=scale,
+            )
+    except Exception:  # noqa: BLE001 — numpy fallback is always correct
+        pass
+    return prep_read_numpy(rd, query_len)
+
+
+def prep_read_numpy(rd: ReadData, query_len: int = QUERY_LEN) -> PreppedRead:
     """ReadData -> PreppedRead, fully vectorized numpy (int32 index math;
     the tail is edge-padded so the window gather needs no clip)."""
     tail = rd.signal[rd.read_start_rel_to_raw :]
@@ -145,6 +174,7 @@ def prep_fast5(
 
 _WORKER_GROUP = "Basecall_1D_000"
 _WORKER_SUBGROUP = "BaseCalled_template"
+_WORKER_SLOTS: dict = {}
 
 
 def _pool_init(group: str, subgroup: str) -> None:
@@ -160,5 +190,66 @@ def _pool_init(group: str, subgroup: str) -> None:
 def _pool_prep_one(path: str):
     try:
         return prep_fast5(path, _WORKER_GROUP, _WORKER_SUBGROUP), None
+    except Exception as exc:  # noqa: BLE001 — per-read degradation
+        return None, str(exc)
+
+
+def slot_layout(cap_bases: int) -> dict:
+    """Byte offsets of one /dev/shm prep slot (see infer.hostpipe)."""
+    win_bytes = 2 * QUERY_LEN * cap_bases
+    feats_bytes = 2 * 6 * cap_bases
+    return {
+        "win": 0,
+        "feats": win_bytes,
+        "vlen": win_bytes + feats_bytes,
+        "total": win_bytes + feats_bytes + cap_bases,
+    }
+
+
+def _worker_slot(slot_path: str):
+    m = _WORKER_SLOTS.get(slot_path)
+    if m is None:
+        m = np.memmap(slot_path, dtype=np.uint8, mode="r+")
+        _WORKER_SLOTS[slot_path] = m
+    return m
+
+
+def _pool_prep_to_slot(path: str, slot_path: str | None, cap_bases: int):
+    """Prep one fast5, writing the big arrays into a shared-memory slot.
+
+    The native prep fills the slot views directly (zero intermediate copy);
+    the numpy fallback copies once. Returns ((n_bases, shift, scale,
+    bases), None) on the slot path, (PreppedRead, None) when no slot is
+    available or the read exceeds the slot capacity (pickle-transport
+    fallback), or (None, error_str).
+    """
+    try:
+        from ..io.fast5 import get_read_data
+
+        rd = get_read_data(path, _WORKER_GROUP, _WORKER_SUBGROUP)
+        n = rd.n_bases
+        if slot_path is None or n > cap_bases:
+            return prep_read(rd), None
+        layout = slot_layout(cap_bases)
+        buf = _worker_slot(slot_path)
+        win = np.frombuffer(buf, np.int16, n * QUERY_LEN, layout["win"])
+        win = win.reshape(n, QUERY_LEN)
+        feats = np.frombuffer(
+            buf, np.float16, n * 6, layout["feats"]
+        ).reshape(n, 6)
+        vlen = np.frombuffer(buf, np.uint8, n, layout["vlen"])
+        try:
+            p = prep_read(rd, out=(win, vlen, feats))
+        except Exception:  # noqa: BLE001 — numpy path ignores ``out``
+            p = prep_read_numpy(rd)
+            win[:] = p.win
+            feats[:] = p.feats
+            vlen[:] = p.vlen
+        else:
+            if p.win is not win:          # numpy fallback inside prep_read
+                win[:] = p.win
+                feats[:] = p.feats
+                vlen[:] = p.vlen
+        return (n, p.shift, p.scale, p.bases), None
     except Exception as exc:  # noqa: BLE001 — per-read degradation
         return None, str(exc)

@@ -52,3 +52,39 @@ def test_native_identity():
     assert j_start == 0
     assert rv == seq
     assert mv == "M" * len(seq)
+
+
+def test_native_prep_matches_numpy(unitest_fast5_files):
+    """C++ nr_prep_read vs the numpy prep path on real reads: identical
+    normalizers/vlen, identical valid window samples, f16-close features."""
+    import numpy as np
+    import pytest
+
+    from nanoreviser_tpu.io import get_read_data
+    from nanoreviser_tpu.native import available, prep_read_native_arrays
+    from nanoreviser_tpu.signal.host_prep import prep_read_numpy
+
+    if not available():
+        pytest.skip("libnanorev.so not available")
+    for p in unitest_fast5_files[:3]:
+        rd = get_read_data(str(p))
+        ref = prep_read_numpy(rd)
+        tail = rd.signal[rd.read_start_rel_to_raw :]
+        win, vlen, feats, shift, scale = prep_read_native_arrays(
+            tail, rd.starts, rd.bases, rd.lengths,
+            rd.ab_mean, rd.ab_std, 50,
+        )
+        assert shift == ref.shift and scale == ref.scale
+        np.testing.assert_array_equal(vlen, ref.vlen)
+        # valid window samples identical; outside-valid cols are masked on
+        # device, so only the valid span must agree
+        left = (50 - vlen.astype(np.int32) + 1) // 2
+        cols = np.arange(50)[None, :]
+        valid = (cols >= left[:, None]) & (cols < (left + vlen)[:, None])
+        np.testing.assert_array_equal(win[valid], ref.win[valid])
+        # f16 features: f64->f16 (numpy) vs f64->f32->f16 (C++) may double-
+        # round by 1 ulp
+        np.testing.assert_allclose(
+            feats.astype(np.float32), ref.feats.astype(np.float32),
+            rtol=2e-3, atol=2e-3,
+        )
