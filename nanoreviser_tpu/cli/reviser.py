@@ -252,9 +252,19 @@ def main(argv=None) -> int:
             n_failed_seen += 1
         return fn in degraded_names
 
-    with cf.ThreadPoolExecutor(max_workers=max(1, args.thread)) as pool:
-        prefetch = max(2 * max(1, args.thread), 64)
-        loaded = _bounded_map(pool, load, fast5_fns, prefetch)
+    import contextlib
+
+    if mode == "model":
+        # model mode decodes on PrepPool worker PROCESSES (hostpipe) — no
+        # thread-pool decode path exists here (it was dead code in round 3)
+        pool_ctx: contextlib.AbstractContextManager = contextlib.nullcontext()
+        loaded = iter(())
+    else:
+        pool_ctx = cf.ThreadPoolExecutor(max_workers=max(1, args.thread))
+    with pool_ctx as pool:
+        if mode != "model":
+            prefetch = max(2 * max(1, args.thread), 64)
+            loaded = _bounded_map(pool, load, fast5_fns, prefetch)
         for fn, read, seq, qual in revised_items(loaded):
             try:
                 stem = fn.split(".")[0]

@@ -1,31 +1,32 @@
-"""Host ingestion pipeline: fast5 decode + per-read prep on worker processes.
+"""Host ingestion pipeline: fast5 decode + per-read compaction on workers.
 
-The 2-core host is the pipeline's second bottleneck after the device: fast5
+The 2-core host is the pipeline's second bottleneck after the tunnel: fast5
 decode is ~4 ms/read of h5py/HDF5 work that does NOT release the GIL, so
 host threads cannot scale it — worker *processes* can. Each worker runs
-signal.host_prep.prep_fast5 (decode -> int16 window gather via the native
-C++ path -> exact moments -> f16 features); the big arrays (win/feats/vlen,
-~1 MB/read) travel back through a ring of /dev/shm slots as zero-copy numpy
+signal.host_prep.compact_fast5 (decode -> window-interval compaction ->
+exact moments -> f16 features); the big arrays (csig/pos0/feats/vlen,
+~30 B/base) travel back through a ring of /dev/shm slots as zero-copy numpy
 views — pickling them through the Pool's result pipe cost a measured
 ~1.5 ms/read of main-process unpickle, more than the prep itself. Only the
 small fields (bases string, normalizers) ride the result pickle.
 
-Slot lifetime contract: stream() yields a PreppedRead whose win/feats/vlen
-VIEW the slot; the view is valid until the caller requests the NEXT item
-(the engine packs rows into its batch buffer immediately, so this is free).
-The slot is recycled on resumption.
+Slot lifetime contract: stream() yields a CompactRead whose arrays VIEW the
+slot; the view is valid until the caller requests the NEXT item (the engine
+packs the arrays into its batch buffer immediately, so this is free). The
+slot is recycled on resumption.
 
 Workers use the "spawn" start method: the parent holds a live TPU client
 whose runtime threads and locks do not survive fork. Spawn costs ~1-2 s per
 worker once at startup, amortized over the stream; the worker entrypoints
 live in signal.host_prep so unpickling them never imports jax. Slots are
 plain mmap'd files under /dev/shm (no multiprocessing.SharedMemory — its
-per-process resource tracker unlinks segments on worker exit).
+per-process resource tracker unlinks segments on worker exit). Slot paths
+carry a per-instance token so two PrepPools in one process cannot alias.
 
 Submission is bounded (``prefetch``): a plain Pool.imap would buffer every
 result in an unbounded queue whenever the consumer is slower.
 
-Contract: results yield in input order as (name, prepped_or_None,
+Contract: results yield in input order as (name, compact_or_None,
 error_or_None) — per-read failures carry the exception message so the
 caller can apply the reference's degradation contract
 (NanoReviser.py:146-154).
@@ -34,26 +35,28 @@ caller can apply the reference's degradation contract
 from __future__ import annotations
 
 import collections
+import itertools
 import multiprocessing as mp
 import os
 
 import numpy as np
 
 from ..signal.host_prep import (
-    QUERY_LEN,
-    PreppedRead,
+    CompactRead,
     _pool_init,
     _pool_prep_one,
     _pool_prep_to_slot,
+    _slot_views,
     slot_layout,
 )
 
-DEFAULT_SLOT_BASES = 131328          # > default engine n_rows; bigger reads
-                                     # fall back to the pickle transport
+DEFAULT_SLOT_BASES = 425984          # > the engine's default n_rows budget;
+DEFAULT_SLOT_SAMPLES = 8 * 1024 * 1024   # bigger reads fall back to pickle
+_instance_counter = itertools.count()
 
 
 class PrepPool:
-    """Ordered, bounded fan-out of prep_fast5 over worker processes.
+    """Ordered, bounded fan-out of compact_fast5 over worker processes.
 
     n_workers=0 preps inline on the calling thread (tests, chipless CI).
     """
@@ -64,6 +67,7 @@ class PrepPool:
         basecall_group: str = "Basecall_1D_000",
         basecall_subgroup: str = "BaseCalled_template",
         slot_bases: int = DEFAULT_SLOT_BASES,
+        slot_samples: int = DEFAULT_SLOT_SAMPLES,
         n_slots: int = 8,
     ):
         if n_workers is None:
@@ -72,41 +76,46 @@ class PrepPool:
         self.group = basecall_group
         self.subgroup = basecall_subgroup
         self.slot_bases = slot_bases
+        self.slot_samples = slot_samples
         self._pool = None
         self._slot_paths: list[str] = []
         self._slot_maps: list[np.ndarray] = []
         if n_workers > 0:
-            layout = slot_layout(slot_bases)
+            layout = slot_layout(slot_bases, slot_samples)
+            token = next(_instance_counter)
             for i in range(n_slots):
-                path = f"/dev/shm/nanorev_prep_{os.getpid()}_{i}"
+                path = f"/dev/shm/nanorev_prep_{os.getpid()}_{token}_{i}"
                 with open(path, "wb") as fp:
                     fp.truncate(layout["total"])
                 self._slot_paths.append(path)
                 self._slot_maps.append(
                     np.memmap(path, dtype=np.uint8, mode="r+")
                 )
-            ctx = mp.get_context("spawn")
-            self._pool = ctx.Pool(
-                n_workers, initializer=_pool_init,
-                initargs=(basecall_group, basecall_subgroup),
-            )
-
-    def _slot_views(self, slot: int, n_bases: int):
-        layout = slot_layout(self.slot_bases)
-        buf = self._slot_maps[slot]
-        win = np.frombuffer(
-            buf, np.int16, n_bases * QUERY_LEN, layout["win"]
-        ).reshape(n_bases, QUERY_LEN)
-        feats = np.frombuffer(
-            buf, np.float16, n_bases * 6, layout["feats"]
-        ).reshape(n_bases, 6)
-        vlen = np.frombuffer(buf, np.uint8, n_bases, layout["vlen"])
-        return win, feats, vlen
+            # single-thread worker BLAS/OMP pools: must be set in the PARENT
+            # before spawn — workers import numpy while unpickling the
+            # initializer, after which the env is already read
+            env_keys = ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                        "MKL_NUM_THREADS")
+            saved = {k: os.environ.get(k) for k in env_keys}
+            for k in env_keys:
+                os.environ[k] = "1"
+            try:
+                ctx = mp.get_context("spawn")
+                self._pool = ctx.Pool(
+                    n_workers, initializer=_pool_init,
+                    initargs=(basecall_group, basecall_subgroup),
+                )
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
 
     def stream(self, base_dir: str, fns, prefetch: int = 24):
-        """Yields (fn, prepped_or_None, error_str_or_None) in input order.
+        """Yields (fn, compact_or_None, error_str_or_None) in input order.
 
-        The yielded PreppedRead's arrays may view a shared-memory slot that
+        The yielded CompactRead's arrays may view a shared-memory slot that
         is recycled when the next item is requested — consume (pack/copy)
         each item before advancing, as StreamingReviser does.
         """
@@ -116,6 +125,7 @@ class PrepPool:
                 prepped, err = _pool_prep_one(os.path.join(base_dir, fn))
                 yield fn, prepped, err
             return
+        layout = slot_layout(self.slot_bases, self.slot_samples)
         free = collections.deque(range(len(self._slot_paths)))
         queue: collections.deque = collections.deque()
 
@@ -124,7 +134,8 @@ class PrepPool:
             path = self._slot_paths[slot] if slot >= 0 else None
             fut = self._pool.apply_async(
                 _pool_prep_to_slot,
-                (os.path.join(base_dir, fn), path, self.slot_bases),
+                (os.path.join(base_dir, fn), path, self.slot_bases,
+                 self.slot_samples),
             )
             queue.append((fn, slot, fut))
 
@@ -132,14 +143,15 @@ class PrepPool:
             small, err = fut.get()
             if err is not None:
                 prepped = None
-            elif isinstance(small, PreppedRead):
+            elif isinstance(small, CompactRead):
                 prepped = small            # pickle-transport fallback
             else:
-                n_bases, shift, scale, bases = small
-                win, feats, vlen = self._slot_views(slot, n_bases)
-                prepped = PreppedRead(
-                    bases=bases, win=win, vlen=vlen, feats=feats,
-                    shift=shift, scale=scale,
+                n_bases, m_samples, shift, scale, bases = small
+                csig, pos0, feats, vlen = _slot_views(
+                    self._slot_maps[slot], layout, n_bases, m_samples)
+                prepped = CompactRead(
+                    bases=bases, csig=csig, pos0=pos0, vlen=vlen,
+                    feats=feats, shift=shift, scale=scale,
                 )
             yield fn, prepped, err
             if slot >= 0:

@@ -1,43 +1,45 @@
 """Streaming TPU inference engine — megabatched production fast path.
 
 Pipeline shape, designed around the measured profile of the TPU attachment
-(h2d ~600 MB/s, ~27 ms per host-blocking call, async dispatch ~0.4 ms) and
-of the chip (fused dual-model kernel: 50 ms per 131k-window batch):
+(true h2d ~60 MB/s with ~25 ms RTT per host-blocking call; the tunnel is the
+binding constraint, NOT the chip) and of the chip (fused dual-model kernel
+~50 ms + window-gather kernel ~9 ms per 393k-window batch):
 
-  host worker(s):   fast5 decode + per-read prep (signal/host_prep: raw
-                    int16 window gather, exact f64 event moments, f16
-                    feature rows) — numpy fancy-indexing at C speed; runs
-                    on worker processes (infer.hostpipe) or the caller's
-                    threads
-  batch assembly:   MANY reads concatenated into ONE fixed-shape buffer
-                    (int16 window rows + f16 features + per-base
-                    normalizers) — fixed shape means exactly one compiled
-                    program; a scalar valid-window count lets the kernel
-                    skip unfilled blocks
-  upload:           one contiguous ~16 MB h2d per ~20 reads (async)
-  device (1 jit):   elementwise normalize/mask (signal/device_prep, fused
-                    by XLA into one HBM pass) -> fused dual-model Pallas
-                    kernel (ops/reviser_kernel.stack_logits_full, per-base
-                    conv/projection hoisting) -> packed uint8 labels
-                    (y1*8+y2) [+ phred qualities]
-  download:         one async d2h per batch on a fetch thread (~27 ms RTT is
+  host worker(s):   fast5 decode + per-read COMPACTION (signal/host_prep:
+                    window-interval union of the raw int16 signal, exact f64
+                    event moments, f16 feature rows) on worker processes
+                    (infer.hostpipe) or the caller's threads
+  batch assembly:   MANY reads concatenated into ONE fixed-shape buffer —
+                    reversed compacted signal + per-block gather metadata +
+                    f16 features (~30 B/base vs 121 B/base when windows were
+                    host-gathered; the upload is what the ~60 MB/s tunnel
+                    actually moves, so bytes/base is the headline number)
+  upload:           one contiguous h2d per batch (async)
+  device (1 jit):   ops.window_gather Pallas kernel (reversed-Toeplitz roll
+                    + exact one-hot MXU gather + fused normalize/mask;
+                    bit-identical to the old host-gather path) -> fused
+                    dual-model Pallas kernel (ops/reviser_kernel
+                    .stack_logits_full) -> packed uint8 labels (y1*8+y2)
+                    [+ phred qualities]
+  download:         one async d2h per batch on a fetch thread (~25 ms RTT is
                     amortized over the whole batch and overlaps compute)
   host:             vectorized per-read revision merge + fasta/fastq write
 
-An earlier design gathered the 50-sample windows ON DEVICE; that vmapped
-dynamic-slice gather cost 158 ms/batch — 3x the model kernel — and capped
-the pipeline at ~110 reads/s. Host-side gathering removed it entirely.
+Fixed-shape SIZE TIERS: a 5-read directory must not pay a 393k-row buffer's
+upload (the round-3 unitest latency was 10.5 reads/s for exactly this
+reason). The engine compiles one program per tier lazily and submits each
+batch at the smallest tier that fits, so small inputs ride a ~16x smaller
+upload and kernel.
 
 The reference's only parallelism is a per-read multiprocessing.Pool
 (NanoReviser.py:203-223); here a single device pipeline sustains hundreds of
-reads/s and the host workers only decode, prep, and write.
+reads/s and the host workers only decode, compact, and write.
 """
 
 from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
-import functools
 import os
 from dataclasses import dataclass, field
 
@@ -55,15 +57,25 @@ from ..ops.reviser_kernel import (
     stack_logits_full,
     stack_weight_dicts,
 )
-from ..signal.device_prep import device_preprocess_batch
-from ..signal.host_prep import QUERY_LEN, PreppedRead, prep_read
+from ..ops.window_gather import (
+    ALIGN,
+    DMA_LEN,
+    pack_block_meta,
+    window_gather_tpu,
+    window_gather_xla_f32,
+)
+from ..ops.window_gather import BLK as GBLK
+from ..ops.window_gather import META_ROWS
+from ..signal.host_prep import QUERY_LEN, CompactRead, compact_read
 from .merge import merge_revision, merge_revision_with_quality
 
 DEFAULT_BLOCK = 256
-DEFAULT_BATCH_WINDOWS = 393216      # windows per device batch (~46 reads):
+DEFAULT_BATCH_WINDOWS = 393216      # windows per device batch (~40 reads):
                                     # per-batch fixed costs (h2d, d2h RTT,
                                     # dispatch) amortize over 3x more reads
 DEFAULT_R_MAX = 144                 # max reads per batch
+SAMPLES_PER_ROW = 12                # signal budget per base row (avg ~10.2)
+SIG_HEAD = 64                       # slack before the first read's signal
 
 
 def _enable_compile_cache():
@@ -80,11 +92,26 @@ def _enable_compile_cache():
         pass
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass(frozen=True)
+class _Tier:
+    """One fixed compiled batch geometry."""
+
+    w_max: int          # windows
+    n_rows: int         # base rows the model consumes (w_max + window)
+    n_rows_g: int       # gather rows (n_rows rounded up to the gather block)
+    s_cap: int          # int16 signal samples in the (reversed) buffer
+
+
 @dataclass
 class _Batch:
-    arrays: dict                               # typed per-batch upload arrays
+    arrays: dict                               # host-side packing arrays
     meta: list = field(default_factory=list)   # (fast5_name, read_obj, row_off)
     rows: int = 0
+    sig_used: int = SIG_HEAD                   # cursor in FORWARD sample space
 
 
 @dataclass
@@ -131,21 +158,28 @@ class StreamingReviser:
 
         assert batch_windows % block == 0
         self.w_max = batch_windows
-        self.n_rows = batch_windows + win1
         self.r_max = r_max
+        self._use_pallas = use_pallas
+
+        # size tiers: 1/8, 1/4, 1/2, full. Small directories and tail
+        # batches ride a smaller program so they do not pay the full
+        # fixed-shape upload over the ~50 MB/s tunnel (the 5-read unitest
+        # fits the 1/8 tier; the last partial batch of a big run usually
+        # fits 1/2). Programs compile lazily per tier.
+        tiers_w = [batch_windows]
+        if use_pallas:
+            for div in (2, 4, 8):
+                w = _round_up(batch_windows // div, block)
+                if block <= w < tiers_w[0]:
+                    tiers_w.insert(0, w)
+        self.tiers = [self._mk_tier(w) for w in tiers_w]
+        self.top = self.tiers[-1]
+        self.n_rows = self.top.n_rows
 
         f1 = fold_inference_params(p1)
         f2 = fold_inference_params(p2)
-        # The fused Pallas kernel is TPU-only; other backends (CPU tests,
-        # hosts without a chip) use the jnp reference stack on the same
-        # BN-folded weights.
-        self._use_pallas = use_pallas
 
-        # dp mesh over the local devices: each device revises its own batch
-        # of reads (the reference's only parallelism is one OS process per
-        # read, NanoReviser.py:203-223; here the unit is a ~20-read batch).
-        # Weights replicate, batch buffers shard on the leading axis.
-        from jax.sharding import PartitionSpec as P  # noqa: F401 — shard_map specs
+        from jax.sharding import PartitionSpec as P  # noqa: F401
 
         from ..parallel import batch_sharding, make_mesh, replicated_sharding
 
@@ -173,18 +207,44 @@ class StreamingReviser:
                 {k: f2[k] for k in lstm_keys + conv_keys}, self._rep
             )
 
-        self._layout = self._buffer_layout()
+        self._fns: dict = {}          # tier -> jitted sharded program (lazy)
+        # ONE upload thread: device_put over the tunnel blocks for the
+        # transfer duration, so it must not run on the packing thread —
+        # batch k+1 packs (and the PrepPool decodes) while k uploads.
+        # Single-threaded keeps submission order.
+        self._upload_pool = cf.ThreadPoolExecutor(max_workers=1)
+        # two fetch threads: the d2h of batch k overlaps the RTT of k+1
+        self._fetch_pool = cf.ThreadPoolExecutor(max_workers=2)
+
+    def _mk_tier(self, w: int) -> _Tier:
+        n_rows = w + self.window
+        n_rows_g = _round_up(n_rows, GBLK)
+        s_cap = _round_up(
+            n_rows_g * SAMPLES_PER_ROW + DMA_LEN + SIG_HEAD + 64, ALIGN)
+        return _Tier(w_max=w, n_rows=n_rows, n_rows_g=n_rows_g, s_cap=s_cap)
+
+    # ----------------------------------------------------------- device side
+
+    def _get_fn(self, tier: _Tier):
+        """Compile (lazily, per tier) the sharded device program."""
+        fn = self._fns.get(tier)
+        if fn is not None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+
+        def device_fn(ws, v):
+            return self._device_fn(ws, v, tier)
+
+        def sharded_fn(ws, bufs):           # local shard: dict of [1, ...]
+            out = device_fn(
+                ws, jax.tree_util.tree_map(lambda x: x[0], bufs)
+            )
+            return jax.tree_util.tree_map(lambda x: x[None], out)
 
         try:
             from jax import shard_map
         except ImportError:  # pragma: no cover — older jax
             from jax.experimental.shard_map import shard_map
-
-        def sharded_fn(ws, bufs):           # local shard: dict of [1, ...]
-            out = self._device_fn(
-                ws, jax.tree_util.tree_map(lambda x: x[0], bufs)
-            )
-            return jax.tree_util.tree_map(lambda x: x[None], out)
 
         # check_vma must be off: pallas_call outputs carry no varying-manual-
         # axes annotation, which the checker (jax >= 0.8) rejects outright
@@ -200,43 +260,20 @@ class StreamingReviser:
                 in_specs=(P(), P("dp")), out_specs=P("dp"),
                 check_rep=False,
             )
-        self._fn = jax.jit(smapped)
-        # two fetch threads: the d2h of batch k overlaps the RTT of k+1
-        # (measured ~11% e2e on the tunnel-attached chip)
-        self._fetch_pool = cf.ThreadPoolExecutor(max_workers=2)
+        fn = jax.jit(smapped)
+        self._fns[tier] = fn
+        return fn
 
-    # ------------------------------------------------------- buffer layout
-
-    def _buffer_layout(self) -> dict:
-        """dtype/shape of each per-batch upload array. Typed arrays (not one
-        flat byte buffer) keep the device program free of bitcast/reshape
-        unpacking; device_put of the dict is still one async upload group."""
-        n = self.n_rows
-        return {
-            "win": (np.int16, (n, QUERY_LEN)),    # raw window samples
-            "feats": (np.float16, (n, 6)),        # final per-base features
-            "shift": (np.float32, (n,)),          # per-base median
-            "scale": (np.float32, (n,)),          # per-base MAD (pad: 1.0)
-            "vlen": (np.uint8, (n,)),             # valid window length
-            "wvalid": (np.int32, (1,)),           # valid window count
-        }
-
-    def _views(self, arrays: dict) -> dict:
-        return arrays
-
-    # ----------------------------------------------------------- device side
-
-    def _device_fn(self, ws, v):
+    def _device_fn(self, ws, v, tier: _Tier):
         t = self.window
-        windows, feats = device_preprocess_batch(
-            v["win"], v["vlen"], v["feats"], v["shift"], v["scale"]
-        )
+        feats_f32 = v["feats"].astype(jnp.float32)
         if self._use_pallas:
-            sig_nb = jnp.pad(
-                windows, ((0, 0), (0, GP - windows.shape[1]))
-            ).astype(jnp.bfloat16)
+            sig_nb = window_gather_tpu(
+                v["sigr"], v["csr"], v["rr"], v["nv"], v["meta"],
+                n_rows=tier.n_rows_g,
+            )[: tier.n_rows]
             feats_nb = jnp.pad(
-                feats, ((0, 0), (0, GP - feats.shape[1]))
+                feats_f32, ((0, 0), (0, GP - feats_f32.shape[1]))
             ).astype(jnp.bfloat16)
             out = stack_logits_full(
                 ws, sig_nb, feats_nb,
@@ -252,7 +289,12 @@ class StreamingReviser:
         else:
             from ..models.fused import lstm_stack_apply, signal_branch_apply
 
-            n_windows = self.w_max
+            windows = window_gather_xla_f32(
+                v["sigr"], v["csr"], v["rr"], v["nv"], v["meta"],
+                n_rows=tier.n_rows_g,
+            )[: tier.n_rows]
+            feats = feats_f32
+            n_windows = tier.w_max
             idx = jnp.arange(n_windows)[:, None] + jnp.arange(t)[None, :]
             sigw = windows[idx]                    # [W, T, 50]
             featw = feats[idx]                     # [W, T, 6]
@@ -283,59 +325,106 @@ class StreamingReviser:
     # ------------------------------------------------------------- host side
 
     def _new_batch(self) -> _Batch:
+        """Host packing arrays, allocated at the TOP tier (submit slices)."""
+        top = self.top
         return _Batch(arrays={
-            k: np.zeros(shape, dtype) for k, (dtype, shape) in self._layout.items()
+            "sigr": np.zeros(top.s_cap, np.int16),
+            "pos0": np.zeros(top.n_rows_g, np.int32),
+            "shift": np.zeros(top.n_rows_g, np.float32),
+            "scale": np.ones(top.n_rows_g, np.float32),
+            "vlen": np.zeros(top.n_rows_g, np.uint8),
+            "feats": np.zeros((top.n_rows, 6), np.float16),
         })
 
-    def _add_read(self, batch: _Batch, name: str, read, prepped: PreppedRead) -> bool:
-        """Try to append a prepped read to the batch; False if it won't fit.
+    def _add_read(self, batch: _Batch, name: str, read, c: CompactRead) -> bool:
+        """Try to append a compacted read to the batch; False if it won't fit.
 
-        ``read`` is the caller's original object (ReadData or PreppedRead),
-        carried through to the output tuples; ``prepped`` holds the packed
-        arrays.
+        ``read`` is the caller's original object (ReadData or CompactRead),
+        carried through to the output tuples; ``c`` holds the packed arrays.
         """
-        n = prepped.n_bases
-        if batch.rows + n > self.n_rows or len(batch.meta) >= self.r_max:
+        n = c.n_bases
+        m = c.n_samples
+        top = self.top
+        sig_limit = top.s_cap - DMA_LEN - 64
+        if (batch.rows + n > top.n_rows
+                or batch.sig_used + m > sig_limit
+                or len(batch.meta) >= self.r_max):
             return False
         vw = batch.arrays
         r0 = batch.rows
-        vw["win"][r0 : r0 + n] = prepped.win
-        vw["feats"][r0 : r0 + n] = prepped.feats
-        vw["shift"][r0 : r0 + n] = prepped.shift
-        vw["scale"][r0 : r0 + n] = prepped.scale
-        vw["vlen"][r0 : r0 + n] = prepped.vlen
+        g = batch.sig_used
+        # reversed placement: forward sample p lives at sigr[s_cap - 1 - p]
+        vw["sigr"][top.s_cap - (g + m) : top.s_cap - g] = c.csig[::-1]
+        vw["pos0"][r0 : r0 + n] = g + c.pos0
+        vw["shift"][r0 : r0 + n] = c.shift
+        vw["scale"][r0 : r0 + n] = c.scale
+        vw["vlen"][r0 : r0 + n] = c.vlen
+        vw["feats"][r0 : r0 + n] = c.feats
         batch.meta.append((name, read, r0))
         batch.rows = r0 + n
+        batch.sig_used = g + m
         return True
 
-    def _finalize(self, batch: _Batch) -> None:
+    def _pick_tier(self, batches: list[_Batch]) -> _Tier:
+        rows = max(b.rows for b in batches)
+        sig = max(b.sig_used for b in batches)
+        for tier in self.tiers:
+            if rows <= tier.n_rows and sig <= tier.s_cap - DMA_LEN - 64:
+                return tier
+        return self.top
+
+    def _finalize(self, batch: _Batch, tier: _Tier) -> dict:
+        """Pack one batch's host arrays into tier-shaped upload arrays."""
         vw = batch.arrays
-        vw["scale"][batch.rows :] = 1.0      # pad rows: no div-by-zero
-        w_needed = max(batch.rows - self.window, 0)
-        w_valid = min(-(-w_needed // self.block) * self.block, self.w_max)
-        vw["wvalid"][0] = w_valid
+        rows = batch.rows
+        n_g = tier.n_rows_g
+        pos0 = vw["pos0"][:n_g]
+        if rows:
+            pos0[rows:] = pos0[rows - 1]    # keep pad blocks' span sane
+        csr, rr, meta = pack_block_meta(
+            pos0, vw["shift"][:n_g], vw["scale"][:n_g], vw["vlen"][:n_g],
+            tier.s_cap,
+        )
+        w_needed = max(rows - self.window, 0)
+        w_valid = min(-(-w_needed // self.block) * self.block, tier.w_max)
+        if w_valid:
+            nv = -(-(min(w_valid + self.window, tier.n_rows_g)) // GBLK)
+        else:
+            nv = 0
+        return {
+            "sigr": vw["sigr"][self.top.s_cap - tier.s_cap :],
+            "meta": meta,
+            "feats": vw["feats"][: tier.n_rows],
+            "csr": csr,
+            "rr": rr,
+            "nv": np.array([nv], np.int32),
+            "wvalid": np.array([w_valid], np.int32),
+        }
 
     def _submit_group(self, batches: list[_Batch]) -> _Pending:
         """One sharded dispatch: batch slot d runs on mesh device d."""
-        metas = []
-        for b in batches:
-            self._finalize(b)
-            metas.append(b.meta)
+        tier = self._pick_tier(batches)
+        metas = [b.meta for b in batches]
+        packed = [self._finalize(b, tier) for b in batches]
         if self.n_dev == 1 and len(batches) == 1:
-            bufs = {k: v[None] for k, v in batches[0].arrays.items()}
+            bufs = {k: v[None] for k, v in packed[0].items()}
         else:
-            pads = [self._new_batch() for _ in range(self.n_dev - len(batches))]
-            for p in pads:
-                self._finalize(p)
-            group = batches + pads
+            pads = [self._finalize(self._new_batch(), tier)
+                    for _ in range(self.n_dev - len(batches))]
+            group = packed + pads
             bufs = {
-                k: np.stack([b.arrays[k] for b in group])
-                for k in self._layout
+                k: np.stack([p[k] for p in group]) for k in packed[0]
             }
-        out = self._fn(self._ws, jax.device_put(bufs, self._buf_sharding))
-        leaves = jax.tree_util.tree_leaves(out)
+        fn = self._get_fn(tier)
+
+        def upload_dispatch():
+            out = fn(self._ws, jax.device_put(bufs, self._buf_sharding))
+            return jax.tree_util.tree_leaves(out)
+
+        up = self._upload_pool.submit(upload_dispatch)
 
         def fetch():
+            leaves = up.result()
             for leaf in leaves:
                 leaf.copy_to_host_async()
             return [np.asarray(leaf) for leaf in leaves]
@@ -377,10 +466,10 @@ class StreamingReviser:
 
     def revise_stream(self, items, errors: list | None = None,
                       emit: str = "seq"):
-        """items: iterable of (fast5_name, ReadData | PreppedRead).
+        """items: iterable of (fast5_name, ReadData | CompactRead).
 
-        PreppedRead items (from infer.hostpipe worker processes) are packed
-        directly; ReadData items are prepped inline (signal.host_prep) on
+        CompactRead items (from infer.hostpipe worker processes) are packed
+        directly; ReadData items are compacted inline (signal.host_prep) on
         the calling thread.
 
         Yields (name, read, revised_seq, qual_or_None) in input order; with
@@ -451,7 +540,8 @@ class StreamingReviser:
             if not bad:
                 try:
                     prepped = (
-                        read if isinstance(read, PreppedRead) else prep_read(read)
+                        read if isinstance(read, CompactRead)
+                        else compact_read(read)
                     )
                 except Exception as exc:  # noqa: BLE001 — per-read degradation
                     if errors is not None:
@@ -471,7 +561,8 @@ class StreamingReviser:
                 if not self._add_read(batch, name, read, prepped):
                     # single read exceeds the batch budget — degrade
                     exc = ValueError(
-                        f"read too large for batch: {read.n_bases} bases"
+                        f"read too large for batch: {read.n_bases} bases / "
+                        f"{prepped.n_samples} samples"
                     )
                     if errors is not None:
                         errors.append((name, exc))

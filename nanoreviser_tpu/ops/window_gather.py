@@ -1,0 +1,258 @@
+"""On-device window gather: raw compacted signal -> normalized bf16 windows.
+
+Why this exists: the host used to pre-gather 50-sample signal windows per
+base and upload them — 100 B/base of a 121 B/base payload, 5.9x duplicated
+raw signal — and the TPU attachment's h2d link (~60 MB/s measured) made that
+upload the pipeline's dominant cost. This kernel moves the gather onto the
+device so the upload carries the raw int16 signal (~20 B/base compacted)
+instead, and produces rows BIT-IDENTICAL to the old host-gather +
+signal.device_prep path (the committed unitest model-path goldens do not
+change).
+
+A gather of 393k unaligned 50-sample slices is the worst op to hand XLA on
+a tiled vector machine (measured: 216 ms via flat jnp.take, 471 ms via
+vmapped dynamic_slice, 48 ms via unfold+row-take). This kernel does it in a
+few ms with three tricks:
+
+1. **Reversed-signal Toeplitz roll.** The signal is uploaded reversed; a
+   single ``pltpu.roll(..., stride=1, stride_axis=0)`` then materializes all
+   64 right-rolled rows of the chunk at once — row q of the rolled matrix is
+   the forward chunk left-shifted by q. No per-row stores, no unsupported
+   lane-offset concats.
+2. **Exact one-hot MXU matmul.** The int16 samples split into hi/lo bytes,
+   both exactly representable in bf16 (|v| <= 256). A one-hot [seg, BLK]
+   matrix contracted against the [2*QP, seg] shifted-rows matrix selects
+   window sample (i, q) with exactly one nonzero product per output, so the
+   f32 accumulation reconstructs the int16 value exactly: w = hi*256 + lo.
+3. **Dynamic alignment roll + segment skipping.** The chunk DMA offset must
+   be 1024-aligned (1D int16 HBM tiling), but a cheap dynamic lane-roll
+   re-bases the chunk so the block's windows occupy the TOP of the one-hot
+   index space. Compaction (signal.host_prep) bounds a 128-row block's
+   span at 128*50 + 50 samples, and typical spans are ~1.3k, so usually only
+   the last 2048-wide segment of the one-hot is active — the other three
+   matmuls/compares are skipped via predicated execution.
+
+Normalization ((x - shift) / scale in f32, then the reference's symmetric
+pad mask, preprocessing.py:111-118) fuses before the bf16 store, exactly
+mirroring signal.device_prep.device_preprocess_batch.
+
+Reference behavior being reproduced: nanorevutils/preprocessing.py:85-170
+(signal_segmentation windows); the layout feeding ops.reviser_kernel is the
+[N, 128] bf16 row buffer its stack_logits_full consumes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Q = 50            # window samples per base (reference query length)
+QP = 64           # padded window rows in the shifted-chunk matrix
+BLK = 128         # base rows per grid block
+ALIGN = 1024      # 1D int16 HBM tiling: DMA offsets/lengths are 1024-aligned
+CHUNK = 8192      # one-hot index space per block (>= BLK*50 + 50 + 64)
+SEG = 2048        # predicated segment width (CHUNK // SEG segments)
+NSEG = CHUNK // SEG
+DMA_LEN = CHUNK + ALIGN
+META_ROWS = 3     # relr|vlen<<16 packed, shift bits, scale bits
+
+
+def _gather_kernel(csr_ref, rr_ref, nvalid_ref, meta_ref, sigr_hbm, out_ref,
+                   chunk0, chunk1, acc_ref, sem):
+    b = pl.program_id(0)
+    nv = nvalid_ref[0]
+
+    def start_dma(chunk_ref, sem_slot, blk):
+        return pltpu.make_async_copy(
+            sigr_hbm.at[pl.ds(pl.multiple_of(csr_ref[blk], ALIGN), DMA_LEN)],
+            chunk_ref, sem.at[sem_slot],
+        )
+
+    # double-buffered chunk DMA: block b uses slot b%2; b's DMA was started
+    # by block b-1 (or here for b == 0), and b starts b+1's.
+    @pl.when((b == 0) & (nv > 0))
+    def _():
+        start_dma(chunk0, 0, 0).start()
+
+    @pl.when(b < nv)
+    def _():
+        nxt = b + 1
+
+        @pl.when((nxt < nv) & (nxt % 2 == 0))
+        def _():
+            start_dma(chunk0, 0, nxt).start()
+
+        @pl.when((nxt < nv) & (nxt % 2 == 1))
+        def _():
+            start_dma(chunk1, 1, nxt).start()
+
+        meta = meta_ref[0]                           # [META_ROWS, 128] int32
+        rv = meta[0:1]                               # relr | vlen << 16
+        relr = rv & 0xFFFF                           # [1, BLK] in [0, CHUNK)
+        span_min = jnp.min(relr)                     # lowest active index
+
+        acc_ref[:] = jnp.zeros((BLK, 2 * QP), jnp.float32)
+
+        def compute(chunk_ref, sem_slot):
+            start_dma(chunk_ref, sem_slot, b).wait()
+            c32 = chunk_ref[:].astype(jnp.int32).reshape(1, DMA_LEN)
+            # dynamic re-base: c_al[j] = chunkR[(j + 1024 - r) mod DMA_LEN];
+            # kernel-side roll is RIGHT by rr = r (see host packing)
+            c_al = pltpu.roll(c32, rr_ref[b], 1)
+            # Toeplitz: row q = c_al right-rolled by q more
+            c_t = pltpu.roll(jnp.broadcast_to(c_al, (QP, DMA_LEN)),
+                             0, 1, stride=1, stride_axis=0)
+            for s in range(NSEG):
+                @pl.when(s * SEG + SEG > span_min)
+                def _():
+                    seg = jax.lax.slice(
+                        c_t, (0, s * SEG), (QP, (s + 1) * SEG))
+                    hi = (seg >> 8).astype(jnp.bfloat16)
+                    lo = (seg & 255).astype(jnp.bfloat16)
+                    j_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (SEG, BLK), 0) + (s * SEG)
+                    m = (j_iota == relr).astype(jnp.bfloat16)
+                    ph = jax.lax.dot_general(
+                        m, hi, (((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # [BLK, QP]
+                    plo = jax.lax.dot_general(
+                        m, lo, (((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc_ref[:, :QP] += ph
+                    acc_ref[:, QP:] += plo
+
+        @pl.when(b % 2 == 0)
+        def _():
+            compute(chunk0, 0)
+
+        @pl.when(b % 2 == 1)
+        def _():
+            compute(chunk1, 1)
+
+        w = acc_ref[:, :QP] * 256.0 + acc_ref[:, QP:]    # [BLK, QP] exact f32
+
+        shift = pltpu.bitcast(meta[1:2], jnp.float32).reshape(BLK, 1)
+        scale = pltpu.bitcast(meta[2:3], jnp.float32).reshape(BLK, 1)
+        vl = (rv >> 16).reshape(BLK, 1)
+        left = (Q - vl + 1) // 2
+        norm = (w - shift) / scale
+        q_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, QP), 1)
+        valid = (q_iota >= left) & (q_iota < left + vl)
+        w_masked = jnp.where(valid, norm, 0.0)
+
+        out_ref[:] = jnp.concatenate(
+            [w_masked, jnp.zeros((BLK, 128 - QP), jnp.float32)], axis=1
+        ).astype(jnp.bfloat16)
+
+    @pl.when(b >= nv)
+    def _():
+        out_ref[:] = jnp.zeros((BLK, 128), jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def window_gather_tpu(sigr, csr, rr, nvalid, meta, *, n_rows,
+                      interpret=False):
+    """Pallas path. sigr: int16 [S] REVERSED packed signal (S % 1024 == 0);
+    csr/rr: int32 [nblocks] per-block DMA offset (reversed space) and align
+    roll; nvalid: int32 [1] valid block count; meta: int32
+    [nblocks, META_ROWS, 128] (relr, shift/scale f32 bits, vlen).
+    Returns [n_rows, 128] bf16 normalized+masked window rows."""
+    nblocks = n_rows // BLK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, META_ROWS, 128), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((BLK, 128), lambda b, *_: (b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((DMA_LEN,), jnp.int16),
+            pltpu.VMEM((DMA_LEN,), jnp.int16),
+            pltpu.VMEM((BLK, 2 * QP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _gather_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rows, 128), jnp.bfloat16),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(csr, rr, nvalid, meta, sigr)
+
+
+def window_gather_xla_f32(sigr, csr, rr, nvalid, meta, *, n_rows):
+    """Backend-agnostic fallback (CPU tests, chipless hosts) consuming the
+    SAME upload format. Returns [n_rows, Q] f32 windows — identical to the
+    old host-gather + device_preprocess_batch output, so the CPU jnp model
+    path keeps its f32 inputs (and its oracle parity) unchanged."""
+    S = sigr.shape[0]
+    rv = meta[:, 0, :].reshape(-1)                        # [n_rows]
+    relr = rv & 0xFFFF
+    # forward base position: fine_blk + (CHUNK - 1 - relr)
+    cs = S - csr - DMA_LEN                                # forward chunk start
+    fine = cs + (rr - CHUNK)                              # block min pos0
+    pos0 = jnp.repeat(fine, BLK) + (CHUNK - 1) - relr
+    sig_fwd = jnp.flip(sigr)
+    idx = jnp.clip(pos0[:, None] + jnp.arange(Q, dtype=jnp.int32)[None, :],
+                   0, S - 1)
+    w = jnp.take(sig_fwd, idx, axis=0).astype(jnp.float32)
+    shift = jax.lax.bitcast_convert_type(
+        meta[:, 1, :], jnp.float32).reshape(-1, 1)
+    scale = jax.lax.bitcast_convert_type(
+        meta[:, 2, :], jnp.float32).reshape(-1, 1)
+    vl = (rv >> 16).reshape(-1, 1)
+    left = (Q - vl + 1) // 2
+    norm = (w - shift) / scale
+    cols = jnp.arange(Q, dtype=jnp.int32)[None, :]
+    valid = (cols >= left) & (cols < left + vl)
+    w_masked = jnp.where(valid, norm, 0.0)
+    rows_valid = nvalid[0] * BLK
+    row_ok = jnp.arange(n_rows, dtype=jnp.int32)[:, None] < rows_valid
+    return jnp.where(row_ok, w_masked, 0.0)
+
+
+def window_gather_xla(sigr, csr, rr, nvalid, meta, *, n_rows):
+    """bf16 [n_rows, 128] variant mirroring the Pallas output layout
+    (used for cross-path parity tests)."""
+    w = window_gather_xla_f32(sigr, csr, rr, nvalid, meta, n_rows=n_rows)
+    return jnp.pad(w, ((0, 0), (0, 128 - Q))).astype(jnp.bfloat16)
+
+
+# ------------------------------------------------------ host-side packing
+
+def pack_block_meta(pos0, shift, scale, vlen, s_cap):
+    """Per-block packing for the kernel. pos0: int32 [n_rows] FORWARD window
+    start per row (pad rows must repeat the last real value so the block min
+    stays sane); shift/scale: f32 [n_rows]; vlen: uint8 [n_rows].
+
+    Returns (csr, rr, meta) — all numpy. Raises ValueError if any block's
+    span exceeds the CHUNK budget (callers degrade the offending batch)."""
+    n_rows = len(pos0)
+    assert n_rows % BLK == 0 and s_cap % ALIGN == 0
+    nblocks = n_rows // BLK
+    p = pos0.reshape(nblocks, BLK)
+    fine = p.min(axis=1)
+    span = p.max(axis=1) - fine
+    if int(span.max(initial=0)) > CHUNK - QP - 1:
+        raise ValueError(
+            f"window block span {int(span.max())} exceeds chunk budget "
+            f"{CHUNK - QP - 1} (pathological read segmentation)")
+    cs = fine & ~(ALIGN - 1)
+    if int(cs.max(initial=0)) + DMA_LEN > s_cap:
+        raise ValueError("chunk DMA would overrun the signal buffer")
+    csr = (s_cap - cs - DMA_LEN).astype(np.int32)
+    # kernel align-roll (right) shift: rows of the rolled+strided chunk then
+    # satisfy c_t[q, CHUNK-1-rel] = sig[fine + rel + q]
+    rr = (CHUNK + (fine - cs)).astype(np.int32)
+    relr = ((CHUNK - 1) - (p - fine[:, None])).astype(np.int32)
+    meta = np.empty((nblocks, META_ROWS, 128), np.int32)
+    meta[:, 0] = relr | (vlen.astype(np.int32).reshape(nblocks, BLK) << 16)
+    meta[:, 1] = shift.astype(np.float32).reshape(nblocks, BLK).view(np.int32)
+    meta[:, 2] = scale.astype(np.float32).reshape(nblocks, BLK).view(np.int32)
+    return csr, rr, meta

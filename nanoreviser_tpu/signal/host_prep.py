@@ -59,6 +59,24 @@ class PreppedRead:
         return len(self.vlen)
 
 
+_warned_native_fallback = False
+
+
+def _warn_native_fallback(exc: Exception) -> None:
+    """Loud (once-per-process) degradation notice: a broken libnanorev.so
+    silently costing ~10x host prep contradicts the repo's loud-degradation
+    policy (round-3 advisor finding)."""
+    global _warned_native_fallback
+    if not _warned_native_fallback:
+        _warned_native_fallback = True
+        import logging
+
+        logging.getLogger("nanoreviser_tpu").warning(
+            "native prep path failed (%s: %s) — falling back to the slower "
+            "numpy prep for this process", type(exc).__name__, exc,
+        )
+
+
 def prep_read(
     rd: ReadData, query_len: int = QUERY_LEN, out: tuple | None = None
 ) -> PreppedRead:
@@ -83,8 +101,8 @@ def prep_read(
                 bases=rd.bases, win=win, vlen=vlen, feats=feats,
                 shift=shift, scale=scale,
             )
-    except Exception:  # noqa: BLE001 — numpy fallback is always correct
-        pass
+    except Exception as exc:  # noqa: BLE001 — numpy fallback is always correct
+        _warn_native_fallback(exc)
     return prep_read_numpy(rd, query_len)
 
 
@@ -124,7 +142,9 @@ def prep_read_numpy(rd: ReadData, query_len: int = QUERY_LEN) -> PreppedRead:
     last_dur = int(rd.lengths[-1])
     ends = np.empty(n, np.int32)
     ends[:-1] = starts[1:]
-    ends[-1] = starts[-1] + last_dur
+    # clamp like the C++ twin (native/src/nanorev.cpp): a barely-long-enough
+    # or truncated tail must not index csum out of bounds
+    ends[-1] = min(starts[-1] + last_dur, n_samples)
     sig_i32 = tail.astype(np.int32)
     csum = np.empty(n_samples + 1, np.int64)
     csum[0] = 0
@@ -167,6 +187,158 @@ def prep_fast5(
     return prep_read(get_read_data(path, basecall_group, basecall_subgroup))
 
 
+# ---- compacted prep (the production upload format) -------------------------
+# The engine no longer uploads pre-gathered 50-sample windows (100 B/base,
+# 5.9x duplicated signal — ruinous on the ~60 MB/s tunnel h2d); it uploads
+# the raw int16 signal COMPACTED to the union of window intervals plus
+# per-base metadata, and ops.window_gather re-gathers on device. Compaction
+# drops signal in gaps > the window size (translocation stalls), which both
+# shrinks the upload and gives the device kernel a hard per-block span bound
+# (consecutive window starts differ by <= 50 samples after compaction).
+
+
+@dataclass
+class CompactRead:
+    """Everything the device batch needs from one read, compacted."""
+
+    bases: str
+    csig: np.ndarray       # [M] int16 compacted signal (window-interval union)
+    pos0: np.ndarray       # [N] int32 window gather start in csig space
+                           #     (= window start - left pad; may be -25..)
+    vlen: np.ndarray       # [N] uint8 valid window length
+    feats: np.ndarray      # [N, 6] float16 final per-base features
+    shift: float           # per-read median (raw DAC units)
+    scale: float           # per-read MAD
+
+    @property
+    def n_bases(self) -> int:
+        return len(self.vlen)
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.csig)
+
+
+def compact_read(
+    rd: ReadData, query_len: int = QUERY_LEN, out: tuple | None = None
+) -> CompactRead:
+    """ReadData -> CompactRead. Native C++ fast path (nr_compact_read) when
+    available, else vectorized numpy; exact parity asserted in
+    tests/test_native.py. ``out``: optional (csig, pos0, vlen, feats) arrays
+    to fill in place (hostpipe shm slots)."""
+    try:
+        from ..native import available, compact_read_native_arrays
+    except ImportError:          # native build predates compaction — quiet
+        available = None
+    if available is not None:
+        try:
+            if available():
+                tail = rd.signal[rd.read_start_rel_to_raw :]
+                csig, pos0, vlen, feats, shift, scale = (
+                    compact_read_native_arrays(
+                        tail, rd.starts, rd.bases, rd.lengths,
+                        rd.ab_mean, rd.ab_std, query_len, mad=rd.mad, out=out,
+                    )
+                )
+                return CompactRead(
+                    bases=rd.bases, csig=csig, pos0=pos0, vlen=vlen,
+                    feats=feats, shift=shift, scale=scale,
+                )
+        except Exception as exc:  # noqa: BLE001 — numpy is always correct
+            _warn_native_fallback(exc)
+    return compact_read_numpy(rd, query_len)
+
+
+def compact_read_numpy(rd: ReadData, query_len: int = QUERY_LEN) -> CompactRead:
+    """Vectorized numpy compaction + exact f64 moments + f16 features.
+
+    Window semantics identical to signal.segmentation.segment_signal
+    (reference preprocessing.py:111-118): window [st-25, st+25) clamped to
+    the tail, symmetric zero pad with left = ceil(pad/2). The compacted
+    buffer concatenates the maximal merged runs of overlapping window
+    intervals; every window maps to a contiguous [cst, cst+vlen) slice of it.
+    """
+    tail = rd.signal[rd.read_start_rel_to_raw :]
+    if not tail.flags.c_contiguous:
+        tail = np.ascontiguousarray(tail)
+    if rd.mad is not None:
+        shift, scale = rd.mad
+    else:
+        shift, scale = mad_normalizers_int16(tail)
+    n_samples = len(tail)
+    starts = np.asarray(rd.starts, np.int32)
+    n = len(starts)
+
+    ahead = query_len // 2
+    win_st = np.maximum(starts - ahead, 0)
+    win_en = np.minimum(starts + (query_len - ahead), n_samples)
+    vlen = (win_en - win_st).astype(np.uint8)
+    left = (query_len - vlen.astype(np.int32) + 1) // 2
+
+    # maximal merged interval runs (window starts/ends are non-decreasing)
+    brk = np.flatnonzero(win_st[1:] > win_en[:-1])
+    first_idx = np.concatenate([[0], brk + 1])
+    last_idx = np.concatenate([brk, [n - 1]])
+    ist = win_st[first_idx]
+    ien = win_en[last_idx]
+    clen = ien - ist
+    coff = np.concatenate([[0], np.cumsum(clen[:-1], dtype=np.int64)])
+    m_total = int(coff[-1] + clen[-1])
+
+    iid = np.zeros(n, np.int64)
+    iid[brk + 1] = 1
+    np.cumsum(iid, out=iid)
+    cst = win_st.astype(np.int64) - ist[iid] + coff[iid]
+    pos0 = (cst - left).astype(np.int32)
+
+    csig = np.empty(m_total, np.int16)
+    for k in range(len(first_idx)):
+        o = coff[k]
+        csig[o : o + clen[k]] = tail[ist[k] : ien[k]]
+
+    # exact prefix-sum event moments (same math as prep_read_numpy)
+    last_dur = int(rd.lengths[-1])
+    ends = np.empty(n, np.int32)
+    ends[:-1] = starts[1:]
+    ends[-1] = min(starts[-1] + last_dur, n_samples)
+    sig_i32 = tail.astype(np.int32)
+    csum = np.empty(n_samples + 1, np.int64)
+    csum[0] = 0
+    np.cumsum(sig_i32, dtype=np.int64, out=csum[1:])
+    csum2 = np.empty(n_samples + 1, np.int64)
+    csum2[0] = 0
+    np.cumsum(sig_i32 * sig_i32, dtype=np.int64, out=csum2[1:])
+    cnt = np.maximum((ends - starts).astype(np.float64), 1.0)
+    ssum = (csum[ends] - csum[starts]).astype(np.float64)
+    ssum2 = (csum2[ends] - csum2[starts]).astype(np.float64)
+    mean = ssum / cnt
+    std = np.sqrt(np.maximum(ssum2 / cnt - mean * mean, 0.0))
+
+    feats = np.empty((n, 6), np.float16)
+    feats[:, 0] = BASE_COLOR_TABLE[_ascii_codes(rd.bases)] * (1.0 / 300.0)
+    feats[:, 1] = mean / shift
+    feats[:, 2] = std / scale
+    feats[:, 3] = np.asarray(rd.lengths, np.float64) * 0.1
+    feats[:, 4] = rd.ab_mean
+    feats[:, 5] = rd.ab_std
+
+    return CompactRead(
+        bases=rd.bases, csig=csig, pos0=pos0, vlen=vlen, feats=feats,
+        shift=float(shift), scale=float(scale),
+    )
+
+
+def compact_fast5(
+    path: str,
+    basecall_group: str = "Basecall_1D_000",
+    basecall_subgroup: str = "BaseCalled_template",
+) -> CompactRead:
+    """Decode + compact one fast5 (the hostpipe worker entrypoint)."""
+    from ..io.fast5 import get_read_data
+
+    return compact_read(get_read_data(path, basecall_group, basecall_subgroup))
+
+
 # ---- multiprocessing worker entrypoints (infer.hostpipe) -------------------
 # These live HERE, not in infer.hostpipe, so that spawn workers unpickling
 # them import only numpy/h5py modules — never jax (whose TPU client must not
@@ -181,28 +353,32 @@ def _pool_init(group: str, subgroup: str) -> None:
     global _WORKER_GROUP, _WORKER_SUBGROUP
     _WORKER_GROUP = group
     _WORKER_SUBGROUP = subgroup
-    import os
-
-    # keep worker numpy single-threaded: 2 host cores, N workers
-    os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 
 def _pool_prep_one(path: str):
     try:
-        return prep_fast5(path, _WORKER_GROUP, _WORKER_SUBGROUP), None
+        return compact_fast5(path, _WORKER_GROUP, _WORKER_SUBGROUP), None
     except Exception as exc:  # noqa: BLE001 — per-read degradation
         return None, str(exc)
 
 
-def slot_layout(cap_bases: int) -> dict:
-    """Byte offsets of one /dev/shm prep slot (see infer.hostpipe)."""
-    win_bytes = 2 * QUERY_LEN * cap_bases
+def slot_layout(cap_bases: int, cap_samples: int | None = None) -> dict:
+    """Byte offsets of one /dev/shm prep slot (see infer.hostpipe).
+
+    Layout: compacted int16 signal | int32 pos0 | f16 feats | u8 vlen.
+    ``cap_samples`` defaults to the worst legal compaction (50/base)."""
+    if cap_samples is None:
+        cap_samples = QUERY_LEN * cap_bases
+    csig_bytes = 2 * cap_samples
+    pos_bytes = 4 * cap_bases
     feats_bytes = 2 * 6 * cap_bases
     return {
-        "win": 0,
-        "feats": win_bytes,
-        "vlen": win_bytes + feats_bytes,
-        "total": win_bytes + feats_bytes + cap_bases,
+        "csig": 0,
+        "pos0": csig_bytes,
+        "feats": csig_bytes + pos_bytes,
+        "vlen": csig_bytes + pos_bytes + feats_bytes,
+        "total": csig_bytes + pos_bytes + feats_bytes + cap_bases,
+        "cap_samples": cap_samples,
     }
 
 
@@ -214,42 +390,38 @@ def _worker_slot(slot_path: str):
     return m
 
 
-def _pool_prep_to_slot(path: str, slot_path: str | None, cap_bases: int):
-    """Prep one fast5, writing the big arrays into a shared-memory slot.
+def _slot_views(buf, layout, n_bases: int, m_samples: int):
+    csig = np.frombuffer(buf, np.int16, m_samples, layout["csig"])
+    pos0 = np.frombuffer(buf, np.int32, n_bases, layout["pos0"])
+    feats = np.frombuffer(
+        buf, np.float16, n_bases * 6, layout["feats"]
+    ).reshape(n_bases, 6)
+    vlen = np.frombuffer(buf, np.uint8, n_bases, layout["vlen"])
+    return csig, pos0, feats, vlen
 
-    The native prep fills the slot views directly (zero intermediate copy);
-    the numpy fallback copies once. Returns ((n_bases, shift, scale,
-    bases), None) on the slot path, (PreppedRead, None) when no slot is
-    available or the read exceeds the slot capacity (pickle-transport
-    fallback), or (None, error_str).
-    """
+
+def _pool_prep_to_slot(path: str, slot_path: str | None, cap_bases: int,
+                       cap_samples: int):
+    """Decode + compact one fast5, writing the big arrays into a
+    shared-memory slot. Returns ((n_bases, m_samples, shift, scale, bases),
+    None) on the slot path, (CompactRead, None) when no slot is available or
+    the read exceeds the slot capacity (pickle-transport fallback), or
+    (None, error_str)."""
     try:
         from ..io.fast5 import get_read_data
 
         rd = get_read_data(path, _WORKER_GROUP, _WORKER_SUBGROUP)
-        n = rd.n_bases
-        if slot_path is None or n > cap_bases:
-            return prep_read(rd), None
-        layout = slot_layout(cap_bases)
+        c = compact_read(rd)
+        n, m = c.n_bases, c.n_samples
+        if slot_path is None or n > cap_bases or m > cap_samples:
+            return c, None
+        layout = slot_layout(cap_bases, cap_samples)
         buf = _worker_slot(slot_path)
-        win = np.frombuffer(buf, np.int16, n * QUERY_LEN, layout["win"])
-        win = win.reshape(n, QUERY_LEN)
-        feats = np.frombuffer(
-            buf, np.float16, n * 6, layout["feats"]
-        ).reshape(n, 6)
-        vlen = np.frombuffer(buf, np.uint8, n, layout["vlen"])
-        try:
-            p = prep_read(rd, out=(win, vlen, feats))
-        except Exception:  # noqa: BLE001 — numpy path ignores ``out``
-            p = prep_read_numpy(rd)
-            win[:] = p.win
-            feats[:] = p.feats
-            vlen[:] = p.vlen
-        else:
-            if p.win is not win:          # numpy fallback inside prep_read
-                win[:] = p.win
-                feats[:] = p.feats
-                vlen[:] = p.vlen
-        return (n, p.shift, p.scale, p.bases), None
+        csig, pos0, feats, vlen = _slot_views(buf, layout, n, m)
+        csig[:] = c.csig
+        pos0[:] = c.pos0
+        feats[:] = c.feats
+        vlen[:] = c.vlen
+        return (n, m, c.shift, c.scale, c.bases), None
     except Exception as exc:  # noqa: BLE001 — per-read degradation
         return None, str(exc)
