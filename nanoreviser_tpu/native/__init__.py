@@ -27,7 +27,7 @@ import numpy as np
 _LIB = None
 _TRIED = False
 
-ABI_VERSION = 2
+ABI_VERSION = 3
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 LIB_PATH = os.path.join(_PKG_DIR, "libnanorev.so")
@@ -75,6 +75,18 @@ def _load():
             ctypes.c_int,                         # qlen
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # win, vlen, feats
+        ]
+        lib.nr_compact_read.restype = ctypes.c_int64
+        lib.nr_compact_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,      # tail, n_samples
+            ctypes.c_void_p, ctypes.c_int64,      # starts, n_bases
+            ctypes.c_void_p,                      # bases (ascii)
+            ctypes.c_void_p,                      # durations f32
+            ctypes.c_void_p, ctypes.c_void_p,     # ab_mean, ab_std f32
+            ctypes.c_int,                         # qlen
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_void_p, ctypes.c_int64,      # csig_out, cap
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # pos0, vlen, feats
         ]
         _LIB = lib
     except OSError:
@@ -169,3 +181,60 @@ def prep_read_native_arrays(
     if rc != 0:
         raise RuntimeError("nr_prep_read failed")
     return win, vlen, feats, float(shift.value), float(scale.value)
+
+
+def compact_read_native_arrays(
+    tail: np.ndarray,
+    starts: np.ndarray,
+    bases: str,
+    durations: np.ndarray,
+    ab_mean: np.ndarray,
+    ab_std: np.ndarray,
+    query_len: int,
+    mad: tuple | None = None,
+    out: tuple | None = None,
+):
+    """(csig i16 [M], pos0 i32 [N], vlen u8 [N], feats f16 [N,6], shift,
+    scale) via nr_compact_read — the production compacted upload format
+    (signal.host_prep.compact_read_numpy semantics, bit-exact incl. the
+    single-rounded f64->f16 features). ``out``: optional (csig, pos0, vlen,
+    feats) C-contiguous arrays to fill in place (csig gives the capacity;
+    the returned csig is its filled prefix)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libnanorev.so not available")
+    tail = np.ascontiguousarray(tail, np.int16)
+    starts32 = np.ascontiguousarray(starts, np.int32)
+    base_bytes = bases.encode("ascii")
+    dur32 = np.ascontiguousarray(durations, np.float32)
+    abm = np.ascontiguousarray(ab_mean, np.float32)
+    abs_ = np.ascontiguousarray(ab_std, np.float32)
+    n = len(starts32)
+    if out is not None:
+        csig, pos0, vlen, feats = out
+        assert csig.dtype == np.int16 and csig.flags.c_contiguous
+        assert pos0.shape == (n,) and pos0.dtype == np.int32
+        assert vlen.shape == (n,) and vlen.dtype == np.uint8
+        assert feats.shape == (n, 6) and feats.dtype == np.float16
+    else:
+        csig = np.empty(min(n * query_len + query_len, len(tail) + query_len),
+                        np.int16)
+        pos0 = np.empty(n, np.int32)
+        vlen = np.empty(n, np.uint8)
+        feats = np.empty((n, 6), np.float16)
+    shift = ctypes.c_double(mad[0] if mad else -1e31)
+    scale = ctypes.c_double(mad[1] if mad else -1e31)
+    m = lib.nr_compact_read(
+        tail.ctypes.data, len(tail),
+        starts32.ctypes.data, n,
+        base_bytes,
+        dur32.ctypes.data,
+        abm.ctypes.data, abs_.ctypes.data,
+        query_len,
+        ctypes.byref(shift), ctypes.byref(scale),
+        csig.ctypes.data, len(csig),
+        pos0.ctypes.data, vlen.ctypes.data, feats.ctypes.data,
+    )
+    if m < 0:
+        raise RuntimeError(f"nr_compact_read failed (rc={m})")
+    return csig[:m], pos0, vlen, feats, float(shift.value), float(scale.value)

@@ -26,6 +26,24 @@ namespace {
 constexpr float NEG_INF = -1.0e9f;
 constexpr int DIAG = 0, UP = 1, LEFT = 2;
 
+// Exact double -> binary16 with single rounding (numpy's f64->f16
+// assignment semantics). A plain double->float->half pipeline double-rounds
+// by 1 ulp near halfway points; routing through round-to-odd at f32 makes
+// the final f16 RN exact (valid because f32 keeps >= 2 extra bits over f16).
+inline uint16_t f64_to_f16(double x) {
+  float f = float(x);
+  if (double(f) != x) {
+    uint32_t b;
+    std::memcpy(&b, &f, 4);
+    if ((b & 1u) == 0) {  // inexact and even mantissa LSB: take the other
+      float g = std::nextafterf(               // bracket (odd LSB)
+          f, (x > double(f)) ? HUGE_VALF : -HUGE_VALF);
+      f = g;
+    }
+  }
+  return _cvtss_sh(f, _MM_FROUND_TO_NEAREST_INT);
+}
+
 inline int64_t j0_line(int64_t i, int64_t m, int64_t t_lead, int64_t span) {
     return t_lead + (span * i) / (m > 1 ? m : 1);
 }
@@ -208,7 +226,6 @@ int nr_prep_read(
   double color[256] = {0};
   color['A'] = 250.0; color['G'] = 180.0; color['T'] = 100.0; color['C'] = 30.0;
 
-  const double inv_shift = 1.0 / shift, inv_scale = 1.0 / scale;
   for (int64_t i = 0; i < n_bases; ++i) {
     const int64_t st = starts[i];
     // window gather with the reference's clamp; zero-fill the pad columns
@@ -236,16 +253,132 @@ int nr_prep_read(
     const double var = std::max(double(s2) / cnt - mean * mean, 0.0);
 
     uint16_t* fr = feats_out + i * 6;
-    fr[0] = _cvtss_sh(float(color[bases[i]] * (1.0 / 300.0)), _MM_FROUND_TO_NEAREST_INT);
-    fr[1] = _cvtss_sh(float(mean * inv_shift), _MM_FROUND_TO_NEAREST_INT);
-    fr[2] = _cvtss_sh(float(std::sqrt(var) * inv_scale), _MM_FROUND_TO_NEAREST_INT);
-    fr[3] = _cvtss_sh(durations[i] * 0.1f, _MM_FROUND_TO_NEAREST_INT);
+    // all f64 math + single-rounded f64->f16, matching the numpy path
+    // bit-for-bit (tests/test_native.py asserts exact feature equality)
+    fr[0] = f64_to_f16(color[bases[i]] * (1.0 / 300.0));
+    fr[1] = f64_to_f16(mean / shift);
+    fr[2] = f64_to_f16(std::sqrt(var) / scale);
+    fr[3] = f64_to_f16(double(durations[i]) * 0.1);
     fr[4] = _cvtss_sh(ab_mean[i], _MM_FROUND_TO_NEAREST_INT);
     fr[5] = _cvtss_sh(ab_std[i], _MM_FROUND_TO_NEAREST_INT);
   }
   return 0;
 }
 
-int nr_abi_version() { return 2; }
+// ---------------------------------------------------------------------------
+// Compacted inference prep: C++ counterpart of host_prep.compact_read_numpy
+// (the production upload format — see ops/window_gather.py). One pass copies
+// the union of clamped window intervals [st-25, st+25) into csig_out (gaps
+// larger than the window — translocation stalls — are dropped), emits the
+// per-base gather start pos0 = cst - left in compacted coordinates, and
+// computes the same exact MAD normalizers / event moments / f16 features as
+// nr_prep_read. All float math mirrors the numpy path op-for-op (divisions,
+// not reciprocal-multiplies) so parity is exact.
+//
+// Returns m (compacted sample count) >= 0, or -1 on invalid input, -2 if
+// csig_cap is too small.
+
+int64_t nr_compact_read(
+    const int16_t* tail, int64_t n_samples,
+    const int32_t* starts, int64_t n_bases,
+    const uint8_t* bases,
+    const float* durations,
+    const float* ab_mean, const float* ab_std,
+    int qlen,
+    double* shift_io, double* scale_io,
+    int16_t* csig_out, int64_t csig_cap,
+    int32_t* pos0_out, uint8_t* vlen_out, uint16_t* feats_out) {
+  if (n_samples < 1 || n_bases < 1 || qlen < 2 || qlen > 255) return -1;
+
+  double shift = *shift_io, scale = *scale_io;
+  if (shift <= -1e30) {
+    int16_t mn = tail[0], mx = tail[0];
+    for (int64_t i = 1; i < n_samples; ++i) {
+      mn = std::min(mn, tail[i]);
+      mx = std::max(mx, tail[i]);
+    }
+    const int span = int(mx) - int(mn) + 1;
+    std::vector<int64_t> hist(span, 0);
+    for (int64_t i = 0; i < n_samples; ++i) hist[tail[i] - mn]++;
+    auto hist_median = [&](const std::vector<int64_t>& h, int64_t n) {
+      const int64_t lo_rank = (n - 1) / 2, hi_rank = n / 2;
+      int64_t csum = 0, lo = -1, hi = -1;
+      for (size_t b = 0; b < h.size(); ++b) {
+        csum += h[b];
+        if (lo < 0 && csum >= lo_rank + 1) lo = int64_t(b);
+        if (csum >= hi_rank + 1) { hi = int64_t(b); break; }
+      }
+      return (double(lo) + double(hi)) / 2.0;
+    };
+    shift = hist_median(hist, n_samples) + mn;
+    const int64_t two_shift = int64_t(std::llround(2.0 * shift));
+    std::vector<int64_t> hist2(2 * size_t(span) + 2, 0);
+    for (int64_t i = 0; i < n_samples; ++i) {
+      int64_t d = 2 * (int64_t(tail[i]) - mn) - (two_shift - 2 * int64_t(mn));
+      hist2[size_t(d < 0 ? -d : d)]++;
+    }
+    scale = hist_median(hist2, n_samples) * 0.5;
+    *shift_io = shift;
+    *scale_io = scale;
+  }
+
+  const int ahead = qlen / 2;
+  double color[256] = {0};
+  color['A'] = 250.0; color['G'] = 180.0; color['T'] = 100.0; color['C'] = 30.0;
+
+  int64_t m = 0;          // compacted cursor
+  int64_t src_hi = -1;    // source index of the compacted buffer's end
+  int64_t ioff = 0;       // current interval: compacted - source offset
+  for (int64_t i = 0; i < n_bases; ++i) {
+    const int64_t st = starts[i];
+    const int64_t w_st = std::max<int64_t>(st - ahead, 0);
+    const int64_t w_en = std::min<int64_t>(st + (qlen - ahead), n_samples);
+    const int64_t vl = std::max<int64_t>(w_en - w_st, 0);
+    const int64_t left = (qlen - vl + 1) / 2;
+
+    if (src_hi < 0 || w_st > src_hi) {       // start a new interval
+      if (m + (w_en - w_st) > csig_cap) return -2;
+      std::memcpy(csig_out + m, tail + w_st,
+                  size_t(w_en - w_st) * sizeof(int16_t));
+      ioff = m - w_st;
+      m += w_en - w_st;
+      src_hi = w_en;
+    } else if (w_en > src_hi) {              // extend the current interval
+      if (m + (w_en - src_hi) > csig_cap) return -2;
+      std::memcpy(csig_out + m, tail + src_hi,
+                  size_t(w_en - src_hi) * sizeof(int16_t));
+      m += w_en - src_hi;
+      src_hi = w_en;
+    }
+    pos0_out[i] = int32_t(w_st + ioff - left);
+    vlen_out[i] = uint8_t(vl);
+
+    const int64_t en_raw =
+        (i + 1 < n_bases) ? starts[i + 1] : st + int64_t(durations[i]);
+    const int64_t en = std::min<int64_t>(en_raw, n_samples);
+    int64_t s1 = 0, s2 = 0;
+    for (int64_t j = st; j < en; ++j) {
+      const int64_t v = tail[j];
+      s1 += v;
+      s2 += v * v;
+    }
+    const double cnt = double(std::max<int64_t>(en - st, 1));
+    const double mean = double(s1) / cnt;
+    const double var = std::max(double(s2) / cnt - mean * mean, 0.0);
+
+    uint16_t* fr = feats_out + i * 6;
+    // all f64 math + single-rounded f64->f16, matching the numpy path
+    // bit-for-bit (tests/test_native.py asserts exact feature equality)
+    fr[0] = f64_to_f16(color[bases[i]] * (1.0 / 300.0));
+    fr[1] = f64_to_f16(mean / shift);
+    fr[2] = f64_to_f16(std::sqrt(var) / scale);
+    fr[3] = f64_to_f16(double(durations[i]) * 0.1);
+    fr[4] = _cvtss_sh(ab_mean[i], _MM_FROUND_TO_NEAREST_INT);
+    fr[5] = _cvtss_sh(ab_std[i], _MM_FROUND_TO_NEAREST_INT);
+  }
+  return m;
+}
+
+int nr_abi_version() { return 3; }
 
 }  // extern "C"

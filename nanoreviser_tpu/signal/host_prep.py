@@ -411,17 +411,21 @@ def _pool_prep_to_slot(path: str, slot_path: str | None, cap_bases: int,
         from ..io.fast5 import get_read_data
 
         rd = get_read_data(path, _WORKER_GROUP, _WORKER_SUBGROUP)
-        c = compact_read(rd)
-        n, m = c.n_bases, c.n_samples
-        if slot_path is None or n > cap_bases or m > cap_samples:
-            return c, None
+        n = rd.n_bases
+        if slot_path is None or n > cap_bases:
+            return compact_read(rd), None
         layout = slot_layout(cap_bases, cap_samples)
         buf = _worker_slot(slot_path)
-        csig, pos0, feats, vlen = _slot_views(buf, layout, n, m)
-        csig[:] = c.csig
-        pos0[:] = c.pos0
-        feats[:] = c.feats
-        vlen[:] = c.vlen
+        csig_cap, pos0, feats, vlen = _slot_views(buf, layout, n, cap_samples)
+        c = compact_read(rd, out=(csig_cap, pos0, vlen, feats))
+        m = c.n_samples
+        if m > cap_samples:
+            return c, None                 # pickle-transport fallback
+        if c.pos0 is not pos0:             # numpy fallback ignored ``out``
+            csig_cap[:m] = c.csig
+            pos0[:] = c.pos0
+            feats[:] = c.feats
+            vlen[:] = c.vlen
         return (n, m, c.shift, c.scale, c.bases), None
     except Exception as exc:  # noqa: BLE001 — per-read degradation
         return None, str(exc)

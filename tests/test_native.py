@@ -82,9 +82,65 @@ def test_native_prep_matches_numpy(unitest_fast5_files):
         cols = np.arange(50)[None, :]
         valid = (cols >= left[:, None]) & (cols < (left + vlen)[:, None])
         np.testing.assert_array_equal(win[valid], ref.win[valid])
-        # f16 features: f64->f16 (numpy) vs f64->f32->f16 (C++) may double-
-        # round by 1 ulp
-        np.testing.assert_allclose(
-            feats.astype(np.float32), ref.feats.astype(np.float32),
-            rtol=2e-3, atol=2e-3,
+        # f16 features now bit-exact: the C++ path does all-f64 math and a
+        # single-rounded f64->f16 (round-to-odd via f32), matching numpy
+        np.testing.assert_array_equal(
+            feats.view(np.uint16), ref.feats.view(np.uint16)
         )
+
+
+def test_native_compact_matches_numpy(unitest_fast5_files):
+    """C++ nr_compact_read vs compact_read_numpy on real reads: identical
+    compacted signal, positions, vlen, normalizers and bit-exact features."""
+    from nanoreviser_tpu.io import get_read_data
+    from nanoreviser_tpu.native import compact_read_native_arrays
+    from nanoreviser_tpu.signal.host_prep import compact_read_numpy
+
+    for p in unitest_fast5_files[:3]:
+        rd = get_read_data(str(p))
+        ref = compact_read_numpy(rd)
+        tail = rd.signal[rd.read_start_rel_to_raw :]
+        csig, pos0, vlen, feats, shift, scale = compact_read_native_arrays(
+            tail, rd.starts, rd.bases, rd.lengths,
+            rd.ab_mean, rd.ab_std, 50,
+        )
+        assert shift == ref.shift and scale == ref.scale
+        np.testing.assert_array_equal(csig, ref.csig)
+        np.testing.assert_array_equal(pos0, ref.pos0)
+        np.testing.assert_array_equal(vlen, ref.vlen)
+        np.testing.assert_array_equal(
+            feats.view(np.uint16), ref.feats.view(np.uint16)
+        )
+
+
+def test_truncated_signal_clamps_like_cpp(unitest_fast5_files):
+    """A tail barely shorter than starts[-1]+last_dur must not crash the
+    numpy paths (ends clamp, round-3 verdict item 5) and must agree with
+    the C++ twin on both prep flavors."""
+    import dataclasses
+
+    from nanoreviser_tpu.io import get_read_data
+    from nanoreviser_tpu.native import compact_read_native_arrays
+    from nanoreviser_tpu.signal.host_prep import (
+        compact_read_numpy,
+        prep_read_numpy,
+    )
+
+    rd = get_read_data(str(unitest_fast5_files[0]))
+    # cut the signal mid-way through the final event segment
+    cut = rd.read_start_rel_to_raw + int(rd.starts[-1]) + 1
+    rd = dataclasses.replace(rd, signal=rd.signal[:cut])
+    p = prep_read_numpy(rd)          # must not IndexError
+    c = compact_read_numpy(rd)
+    assert p.n_bases == c.n_bases == rd.n_bases
+    tail = rd.signal[rd.read_start_rel_to_raw :]
+    csig, pos0, vlen, feats, shift, scale = compact_read_native_arrays(
+        tail, rd.starts, rd.bases, rd.lengths, rd.ab_mean, rd.ab_std, 50,
+    )
+    np.testing.assert_array_equal(csig, c.csig)
+    np.testing.assert_array_equal(
+        feats.view(np.uint16), c.feats.view(np.uint16)
+    )
+    np.testing.assert_array_equal(
+        feats.view(np.uint16), p.feats.view(np.uint16)
+    )
