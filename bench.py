@@ -109,6 +109,23 @@ def main():
             _stream(engine, UNITEST_DIR, uni_fns, out_dir, errors, pool)
             best_uni = min(best_uni, time.time() - t0)
 
+        # pinned-golden parity: the unitest outputs just written must equal
+        # unitest/goldens byte-for-byte (silent numerics drift hard-fails)
+        gold_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "unitest", "goldens")
+        golden_exact = True
+        for fn in uni_fns:
+            stem = fn.split(".")[0]
+            try:
+                got = open(os.path.join(out_dir, stem + "_out.fasta")).read()
+                want = open(os.path.join(gold_dir, stem + "_out.fasta")).read()
+                if got != want:
+                    golden_exact = False
+                    errors.append((fn, "output differs from pinned golden"))
+            except OSError as exc:
+                golden_exact = False
+                errors.append((fn, f"golden check failed: {exc}"))
+
         # passthrough (bit-exact reference-output path) timing
         t0 = time.time()
         for fn in uni_fns:
@@ -140,6 +157,7 @@ def main():
         ),
         "passthrough_reads_per_s": round(len(uni_fns) / passthrough_dt, 3),
         "baseline_reads_per_s": round(baseline["reads_per_s"], 3),
+        "unitest_golden_exact": golden_exact,
     }
     print(json.dumps(result))
 

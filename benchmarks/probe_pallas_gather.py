@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nanoreviser_tpu.ops.window_gather import (
-    ALIGN, BLK, CHUNK, DMA_LEN, Q, pack_block_meta,
+    ALIGN, BLK, CHUNK, DMA_LEN, Q, pack_block_meta, pack_read_tables,
     window_gather_tpu, window_gather_xla,
 )
 
@@ -42,19 +42,27 @@ def main():
     gaps[rng.integers(0, n_rows, 500)] = 50
     pos0 = (1024 + np.cumsum(gaps)).astype(np.int32)
     assert pos0[-1] < S - DMA_LEN
-    shift = np.full(n_rows, 455.0, np.float32)
-    scale = np.full(n_rows, 31.0, np.float32)
     vlen = rng.integers(1, 51, n_rows).astype(np.uint8)
     rows_valid = n_rows - 3 * BLK          # exercise block skipping
     pos0[rows_valid:] = pos0[rows_valid - 1]
     vlen[rows_valid:] = 0
 
-    csr, rr, meta = pack_block_meta(pos0, shift, scale, vlen, S)
+    # split rows across 3 synthetic reads to exercise the read-id tables
+    read_id = np.zeros(n_rows, np.uint8)
+    read_id[n_rows // 3 :] = 1
+    read_id[2 * n_rows // 3 :] = 2
+    shifts = [455.1234, 462.875, 440.0317]
+    scales = [31.25, 29.111, 33.0333]
+    shift = np.array(shifts, np.float32)[read_id]
+    scale = np.array(scales, np.float32)[read_id]
+    csr, rr, meta = pack_block_meta(pos0, vlen, read_id, S)
+    tabs = pack_read_tables(np.array(shifts, np.float32),
+                            np.array(scales, np.float32))
     nvalid = np.array([rows_valid // BLK], np.int32)
     sig_rev = sig[::-1].copy()
 
     d = jax.device_put
-    args = (d(sig_rev), d(csr), d(rr), d(nvalid), d(meta))
+    args = (d(sig_rev), d(csr), d(rr), d(nvalid), d(meta), d(tabs))
     jax.block_until_ready(args)
 
     cpu = jax.devices("cpu")[0]
@@ -63,7 +71,7 @@ def main():
                                          int(nvalid[0]) * BLK))
         print("reference done", flush=True)
         cargs = tuple(jax.device_put(np.asarray(a), cpu)
-                      for a in (sig_rev, csr, rr, nvalid, meta))
+                      for a in (sig_rev, csr, rr, nvalid, meta, tabs))
         got_x = np.asarray(window_gather_xla(*cargs, n_rows=n_rows))
         print("xla done", flush=True)
     bad = (got_x != want)

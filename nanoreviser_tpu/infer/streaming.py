@@ -61,6 +61,7 @@ from ..ops.window_gather import (
     ALIGN,
     DMA_LEN,
     pack_block_meta,
+    pack_read_tables,
     window_gather_tpu,
     window_gather_xla_f32,
 )
@@ -110,6 +111,8 @@ class _Tier:
 class _Batch:
     arrays: dict                               # host-side packing arrays
     meta: list = field(default_factory=list)   # (fast5_name, read_obj, row_off)
+    shifts: list = field(default_factory=list)   # per-read normalizers, in
+    scales: list = field(default_factory=list)   # read_id order
     rows: int = 0
     sig_used: int = SIG_HEAD                   # cursor in FORWARD sample space
 
@@ -269,7 +272,7 @@ class StreamingReviser:
         feats_f32 = v["feats"].astype(jnp.float32)
         if self._use_pallas:
             sig_nb = window_gather_tpu(
-                v["sigr"], v["csr"], v["rr"], v["nv"], v["meta"],
+                v["sigr"], v["csr"], v["rr"], v["nv"], v["meta"], v["tabs"],
                 n_rows=tier.n_rows_g,
             )[: tier.n_rows]
             feats_nb = jnp.pad(
@@ -290,7 +293,7 @@ class StreamingReviser:
             from ..models.fused import lstm_stack_apply, signal_branch_apply
 
             windows = window_gather_xla_f32(
-                v["sigr"], v["csr"], v["rr"], v["nv"], v["meta"],
+                v["sigr"], v["csr"], v["rr"], v["nv"], v["meta"], v["tabs"],
                 n_rows=tier.n_rows_g,
             )[: tier.n_rows]
             feats = feats_f32
@@ -330,8 +333,7 @@ class StreamingReviser:
         return _Batch(arrays={
             "sigr": np.zeros(top.s_cap, np.int16),
             "pos0": np.zeros(top.n_rows_g, np.int32),
-            "shift": np.zeros(top.n_rows_g, np.float32),
-            "scale": np.ones(top.n_rows_g, np.float32),
+            "read_id": np.zeros(top.n_rows_g, np.uint8),
             "vlen": np.zeros(top.n_rows_g, np.uint8),
             "feats": np.zeros((top.n_rows, 6), np.float16),
         })
@@ -356,10 +358,11 @@ class StreamingReviser:
         # reversed placement: forward sample p lives at sigr[s_cap - 1 - p]
         vw["sigr"][top.s_cap - (g + m) : top.s_cap - g] = c.csig[::-1]
         vw["pos0"][r0 : r0 + n] = g + c.pos0
-        vw["shift"][r0 : r0 + n] = c.shift
-        vw["scale"][r0 : r0 + n] = c.scale
+        vw["read_id"][r0 : r0 + n] = len(batch.meta)
         vw["vlen"][r0 : r0 + n] = c.vlen
         vw["feats"][r0 : r0 + n] = c.feats
+        batch.shifts.append(c.shift)
+        batch.scales.append(c.scale)
         batch.meta.append((name, read, r0))
         batch.rows = r0 + n
         batch.sig_used = g + m
@@ -382,9 +385,9 @@ class StreamingReviser:
         if rows:
             pos0[rows:] = pos0[rows - 1]    # keep pad blocks' span sane
         csr, rr, meta = pack_block_meta(
-            pos0, vw["shift"][:n_g], vw["scale"][:n_g], vw["vlen"][:n_g],
-            tier.s_cap,
+            pos0, vw["vlen"][:n_g], vw["read_id"][:n_g], tier.s_cap,
         )
+        tabs = pack_read_tables(batch.shifts, batch.scales)
         w_needed = max(rows - self.window, 0)
         w_valid = min(-(-w_needed // self.block) * self.block, tier.w_max)
         if w_valid:
@@ -394,6 +397,7 @@ class StreamingReviser:
         return {
             "sigr": vw["sigr"][self.top.s_cap - tier.s_cap :],
             "meta": meta,
+            "tabs": tabs,
             "feats": vw["feats"][: tier.n_rows],
             "csr": csr,
             "rr": rr,

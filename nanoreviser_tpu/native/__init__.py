@@ -26,8 +26,9 @@ import numpy as np
 
 _LIB = None
 _TRIED = False
+_HDF5_OK: bool | None = None
 
-ABI_VERSION = 3
+ABI_VERSION = 4
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 LIB_PATH = os.path.join(_PKG_DIR, "libnanorev.so")
@@ -87,6 +88,18 @@ def _load():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_void_p, ctypes.c_int64,      # csig_out, cap
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # pos0, vlen, feats
+        ]
+        lib.nr_hdf5_init.restype = ctypes.c_int
+        lib.nr_hdf5_init.argtypes = [ctypes.c_char_p]
+        lib.nr_fast5_compact.restype = ctypes.c_int64
+        lib.nr_fast5_compact.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,  # paths
+            ctypes.c_int,                                       # qlen
+            ctypes.c_void_p, ctypes.c_int64,                    # bases, cap
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_void_p, ctypes.c_int64,                    # csig, cap
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # pos0/vlen/feats
+            ctypes.POINTER(ctypes.c_int64),                     # m_out
         ]
         _LIB = lib
     except OSError:
@@ -213,9 +226,9 @@ def compact_read_native_arrays(
     if out is not None:
         csig, pos0, vlen, feats = out
         assert csig.dtype == np.int16 and csig.flags.c_contiguous
-        assert pos0.shape == (n,) and pos0.dtype == np.int32
-        assert vlen.shape == (n,) and vlen.dtype == np.uint8
-        assert feats.shape == (n, 6) and feats.dtype == np.float16
+        assert len(pos0) >= n and pos0.dtype == np.int32
+        assert len(vlen) >= n and vlen.dtype == np.uint8
+        assert feats.shape[0] >= n and feats.dtype == np.float16
     else:
         csig = np.empty(min(n * query_len + query_len, len(tail) + query_len),
                         np.int16)
@@ -237,4 +250,85 @@ def compact_read_native_arrays(
     )
     if m < 0:
         raise RuntimeError(f"nr_compact_read failed (rc={m})")
-    return csig[:m], pos0, vlen, feats, float(shift.value), float(scale.value)
+    return (csig[:m], pos0[:n], vlen[:n], feats[:n],
+            float(shift.value), float(scale.value))
+
+
+def _find_libhdf5() -> str | None:
+    """Path of h5py's bundled libhdf5 (no system HDF5 headers/libs exist)."""
+    try:
+        import glob
+
+        import h5py
+
+        libs_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(h5py.__file__))),
+            "h5py.libs",
+        )
+        hits = sorted(glob.glob(os.path.join(libs_dir, "libhdf5-*.so*")))
+        return hits[0] if hits else None
+    except Exception:  # noqa: BLE001 — ingest is a fast path only
+        return None
+
+
+def hdf5_available() -> bool:
+    """True when the native fast5 ingest path is usable (lazy dlopen)."""
+    global _HDF5_OK
+    if _HDF5_OK is None:
+        lib = _load()
+        path = _find_libhdf5()
+        _HDF5_OK = bool(
+            lib is not None and path is not None
+            and lib.nr_hdf5_init(path.encode()) == 0
+        )
+    return _HDF5_OK
+
+
+def fast5_compact_native(
+    path: str,
+    basecall_group: str,
+    basecall_subgroup: str,
+    query_len: int = 50,
+    out: tuple | None = None,
+    bases_cap: int = 2 * 1024 * 1024,
+):
+    """Decode + compact one fast5 entirely in C++ (nr_fast5_compact): one
+    ctypes call replaces h5py decode + numpy prep on the worker hot path.
+    Returns (bases_str, csig, pos0, vlen, feats, shift, scale) with array
+    semantics identical to signal.host_prep.compact_read_numpy(get_read_data())
+    (parity asserted in tests/test_native.py). Raises RuntimeError on any
+    native failure — callers fall back to the h5py path, which produces the
+    reference's degradation errors for genuinely bad files."""
+    lib = _load()
+    if lib is None or not hdf5_available():
+        raise RuntimeError("native hdf5 ingest not available")
+    events = f"/Analyses/{basecall_group}/{basecall_subgroup}/Events"
+    group = f"/Analyses/{basecall_group}"
+    if out is not None:
+        csig, pos0, vlen, feats = out
+        bases_cap = len(pos0)
+    else:
+        csig = np.empty(bases_cap * query_len, np.int16)
+        pos0 = np.empty(bases_cap, np.int32)
+        vlen = np.empty(bases_cap, np.uint8)
+        feats = np.empty((bases_cap, 6), np.float16)
+    bases = np.empty(bases_cap, np.uint8)
+    shift = ctypes.c_double(-1e31)
+    scale = ctypes.c_double(-1e31)
+    m_out = ctypes.c_int64(0)
+    n = lib.nr_fast5_compact(
+        os.fsencode(path), events.encode(), group.encode(), query_len,
+        bases.ctypes.data, bases_cap,
+        ctypes.byref(shift), ctypes.byref(scale),
+        csig.ctypes.data, len(csig),
+        pos0.ctypes.data, vlen.ctypes.data, feats.ctypes.data,
+        ctypes.byref(m_out),
+    )
+    if n < 0:
+        raise RuntimeError(f"nr_fast5_compact failed (rc={n})")
+    m = int(m_out.value)
+    return (
+        bases[:n].tobytes().decode("ascii"),
+        csig[:m], pos0[:n], vlen[:n], feats[:n],
+        float(shift.value), float(scale.value),
+    )

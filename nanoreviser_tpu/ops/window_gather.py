@@ -59,11 +59,12 @@ CHUNK = 8192      # one-hot index space per block (>= BLK*50 + 50 + 64)
 SEG = 2048        # predicated segment width (CHUNK // SEG segments)
 NSEG = CHUNK // SEG
 DMA_LEN = CHUNK + ALIGN
-META_ROWS = 3     # relr|vlen<<16 packed, shift bits, scale bits
+META_ROWS = 1     # relr | vlen<<13 | read_id<<19 packed
+R_CAP = 256       # read-table lanes (>= engine r_max + 1)
 
 
-def _gather_kernel(csr_ref, rr_ref, nvalid_ref, meta_ref, sigr_hbm, out_ref,
-                   chunk0, chunk1, acc_ref, sem):
+def _gather_kernel(csr_ref, rr_ref, nvalid_ref, meta_ref, tabs_ref, sigr_hbm,
+                   out_ref, chunk0, chunk1, acc_ref, sem):
     b = pl.program_id(0)
     nv = nvalid_ref[0]
 
@@ -91,9 +92,8 @@ def _gather_kernel(csr_ref, rr_ref, nvalid_ref, meta_ref, sigr_hbm, out_ref,
         def _():
             start_dma(chunk1, 1, nxt).start()
 
-        meta = meta_ref[0]                           # [META_ROWS, 128] int32
-        rv = meta[0:1]                               # relr | vlen << 16
-        relr = rv & 0xFFFF                           # [1, BLK] in [0, CHUNK)
+        rv = meta_ref[0, 0:1]                        # [1, BLK] packed int32
+        relr = rv & 0x1FFF                           # [1, BLK] in [0, CHUNK)
         span_min = jnp.min(relr)                     # lowest active index
 
         acc_ref[:] = jnp.zeros((BLK, 2 * QP), jnp.float32)
@@ -136,9 +136,19 @@ def _gather_kernel(csr_ref, rr_ref, nvalid_ref, meta_ref, sigr_hbm, out_ref,
 
         w = acc_ref[:, :QP] * 256.0 + acc_ref[:, QP:]    # [BLK, QP] exact f32
 
-        shift = pltpu.bitcast(meta[1:2], jnp.float32).reshape(BLK, 1)
-        scale = pltpu.bitcast(meta[2:3], jnp.float32).reshape(BLK, 1)
-        vl = (rv >> 16).reshape(BLK, 1)
+        # per-read shift/scale via an exact one-hot table lookup: each f32
+        # value is split into three bf16 terms on the host (8+8+8 mantissa
+        # bits); one-hot products and the f32 additions are all exact, so
+        # the reconstructed sum is the original f32 bit-for-bit.
+        rid = (rv >> 19) & 255                       # [1, BLK]
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (R_CAP, BLK), 0)
+        onehot = (r_iota == rid).astype(jnp.bfloat16)
+        sv = jax.lax.dot_general(
+            tabs_ref[:], onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [6, BLK]
+        shift = (sv[0:1] + sv[1:2] + sv[2:3]).reshape(BLK, 1)
+        scale = (sv[3:4] + sv[4:5] + sv[5:6]).reshape(BLK, 1)
+        vl = ((rv >> 13) & 63).reshape(BLK, 1)
         left = (Q - vl + 1) // 2
         norm = (w - shift) / scale
         q_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, QP), 1)
@@ -155,12 +165,13 @@ def _gather_kernel(csr_ref, rr_ref, nvalid_ref, meta_ref, sigr_hbm, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
-def window_gather_tpu(sigr, csr, rr, nvalid, meta, *, n_rows,
+def window_gather_tpu(sigr, csr, rr, nvalid, meta, tabs, *, n_rows,
                       interpret=False):
     """Pallas path. sigr: int16 [S] REVERSED packed signal (S % 1024 == 0);
     csr/rr: int32 [nblocks] per-block DMA offset (reversed space) and align
     roll; nvalid: int32 [1] valid block count; meta: int32
-    [nblocks, META_ROWS, 128] (relr, shift/scale f32 bits, vlen).
+    [nblocks, META_ROWS, 128] (relr | vlen<<13 | read_id<<19); tabs: bf16
+    [6, R_CAP] 3-term-split per-read shift/scale tables.
     Returns [n_rows, 128] bf16 normalized+masked window rows."""
     nblocks = n_rows // BLK
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -168,6 +179,7 @@ def window_gather_tpu(sigr, csr, rr, nvalid, meta, *, n_rows,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((1, META_ROWS, 128), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((6, R_CAP), lambda b, *_: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((BLK, 128), lambda b, *_: (b, 0)),
@@ -183,17 +195,17 @@ def window_gather_tpu(sigr, csr, rr, nvalid, meta, *, n_rows,
         out_shape=jax.ShapeDtypeStruct((n_rows, 128), jnp.bfloat16),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(csr, rr, nvalid, meta, sigr)
+    )(csr, rr, nvalid, meta, tabs, sigr)
 
 
-def window_gather_xla_f32(sigr, csr, rr, nvalid, meta, *, n_rows):
+def window_gather_xla_f32(sigr, csr, rr, nvalid, meta, tabs, *, n_rows):
     """Backend-agnostic fallback (CPU tests, chipless hosts) consuming the
     SAME upload format. Returns [n_rows, Q] f32 windows — identical to the
     old host-gather + device_preprocess_batch output, so the CPU jnp model
     path keeps its f32 inputs (and its oracle parity) unchanged."""
     S = sigr.shape[0]
     rv = meta[:, 0, :].reshape(-1)                        # [n_rows]
-    relr = rv & 0xFFFF
+    relr = rv & 0x1FFF
     # forward base position: fine_blk + (CHUNK - 1 - relr)
     cs = S - csr - DMA_LEN                                # forward chunk start
     fine = cs + (rr - CHUNK)                              # block min pos0
@@ -202,11 +214,13 @@ def window_gather_xla_f32(sigr, csr, rr, nvalid, meta, *, n_rows):
     idx = jnp.clip(pos0[:, None] + jnp.arange(Q, dtype=jnp.int32)[None, :],
                    0, S - 1)
     w = jnp.take(sig_fwd, idx, axis=0).astype(jnp.float32)
-    shift = jax.lax.bitcast_convert_type(
-        meta[:, 1, :], jnp.float32).reshape(-1, 1)
-    scale = jax.lax.bitcast_convert_type(
-        meta[:, 2, :], jnp.float32).reshape(-1, 1)
-    vl = (rv >> 16).reshape(-1, 1)
+    tabs32 = tabs.astype(jnp.float32)                     # exact 3-term sums
+    shift_tab = tabs32[0] + tabs32[1] + tabs32[2]
+    scale_tab = tabs32[3] + tabs32[4] + tabs32[5]
+    rid = (rv >> 19) & 255
+    shift = jnp.take(shift_tab, rid, axis=0).reshape(-1, 1)
+    scale = jnp.take(scale_tab, rid, axis=0).reshape(-1, 1)
+    vl = ((rv >> 13) & 63).reshape(-1, 1)
     left = (Q - vl + 1) // 2
     norm = (w - shift) / scale
     cols = jnp.arange(Q, dtype=jnp.int32)[None, :]
@@ -217,19 +231,21 @@ def window_gather_xla_f32(sigr, csr, rr, nvalid, meta, *, n_rows):
     return jnp.where(row_ok, w_masked, 0.0)
 
 
-def window_gather_xla(sigr, csr, rr, nvalid, meta, *, n_rows):
+def window_gather_xla(sigr, csr, rr, nvalid, meta, tabs, *, n_rows):
     """bf16 [n_rows, 128] variant mirroring the Pallas output layout
     (used for cross-path parity tests)."""
-    w = window_gather_xla_f32(sigr, csr, rr, nvalid, meta, n_rows=n_rows)
+    w = window_gather_xla_f32(sigr, csr, rr, nvalid, meta, tabs,
+                              n_rows=n_rows)
     return jnp.pad(w, ((0, 0), (0, 128 - Q))).astype(jnp.bfloat16)
 
 
 # ------------------------------------------------------ host-side packing
 
-def pack_block_meta(pos0, shift, scale, vlen, s_cap):
+def pack_block_meta(pos0, vlen, read_id, s_cap):
     """Per-block packing for the kernel. pos0: int32 [n_rows] FORWARD window
     start per row (pad rows must repeat the last real value so the block min
-    stays sane); shift/scale: f32 [n_rows]; vlen: uint8 [n_rows].
+    stays sane); vlen: uint8 [n_rows]; read_id: uint8 [n_rows] index into
+    the per-read shift/scale tables (see pack_read_tables).
 
     Returns (csr, rr, meta) — all numpy. Raises ValueError if any block's
     span exceeds the CHUNK budget (callers degrade the offending batch)."""
@@ -252,7 +268,37 @@ def pack_block_meta(pos0, shift, scale, vlen, s_cap):
     rr = (CHUNK + (fine - cs)).astype(np.int32)
     relr = ((CHUNK - 1) - (p - fine[:, None])).astype(np.int32)
     meta = np.empty((nblocks, META_ROWS, 128), np.int32)
-    meta[:, 0] = relr | (vlen.astype(np.int32).reshape(nblocks, BLK) << 16)
-    meta[:, 1] = shift.astype(np.float32).reshape(nblocks, BLK).view(np.int32)
-    meta[:, 2] = scale.astype(np.float32).reshape(nblocks, BLK).view(np.int32)
+    meta[:, 0] = (
+        relr
+        | (vlen.astype(np.int32).reshape(nblocks, BLK) << 13)
+        | (read_id.astype(np.int32).reshape(nblocks, BLK) << 19)
+    )
     return csr, rr, meta
+
+
+def pack_read_tables(shifts, scales):
+    """bf16 [6, R_CAP] 3-term split of the per-read f32 shift/scale values.
+
+    Rows 0..2 sum (exactly, in f32) to shift, rows 3..5 to scale: a f32 has
+    a 24-bit mantissa = three bf16 mantissas, and each residual is exactly
+    bf16-representable, so one-hot matmul + two f32 adds reconstruct the
+    f32 bit-for-bit on device. Unused lanes read shift 0 / scale 1."""
+    import ml_dtypes
+
+    bf16 = ml_dtypes.bfloat16
+    out = np.zeros((6, R_CAP), bf16)
+    vals = np.zeros((2, R_CAP), np.float32)
+    vals[1] = 1.0
+    n = len(shifts)
+    assert n <= R_CAP and len(scales) == n
+    vals[0, :n] = np.asarray(shifts, np.float32)
+    vals[1, :n] = np.asarray(scales, np.float32)
+    for k, row in enumerate(vals):
+        a = row.astype(bf16)
+        r1 = row - a.astype(np.float32)
+        b = r1.astype(bf16)
+        c = (r1 - b.astype(np.float32)).astype(bf16)
+        out[3 * k + 0] = a
+        out[3 * k + 1] = b
+        out[3 * k + 2] = c
+    return out
