@@ -136,6 +136,59 @@ def main():
         passthrough_dt = time.time() - t0
 
     baseline = measure_baseline()
+
+    # ---- stage budget + device/link diagnostics (VERDICT r3 item 1) ----
+    stages = {}
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        from profile_stages import profile as _profile_stages
+
+        stages = _profile_stages(quiet=True)
+    except Exception as exc:  # noqa: BLE001 — diagnostics must not kill bench
+        stages = {"error": str(exc)[:200]}
+
+    # kernel MFU (executed math, hoisted, unpadded — see ops/reviser_kernel):
+    # per window per model: recurrent matmuls 198656 MAC/t * T + heads
+    # 37056 MAC/t * T; per base per model: conv branch 36400 + input
+    # projections 344832 MAC. FLOP = 2*MAC; 2 models; v5e bf16 peak 197e12.
+    mfu = {}
+    try:
+        t_len = 13
+        per_window_mac = (198656 + 37056) * t_len
+        per_base_mac = 36400 + 768 + 16384 + 196608 + 131072
+        w_batch = 393216
+        flops_exec = 2 * 2 * w_batch * (per_window_mac + per_base_mac)
+        flops_naive = 2 * 2 * w_batch * (580544 * t_len + 36400)
+        dev_s = stages.get("device_s", 0.0) / max(stages.get("n_batches", 1), 1)
+        if dev_s > 0:
+            mfu = {
+                "device_ms_per_batch": round(dev_s * 1e3, 1),
+                "kernel_tflops_executed": round(flops_exec / dev_s / 1e12, 1),
+                "kernel_mfu_executed": round(flops_exec / dev_s / 197e12, 3),
+                "naive_math_equiv_tflops": round(
+                    flops_naive / dev_s / 1e12, 1),
+            }
+    except Exception:  # noqa: BLE001
+        pass
+
+    # ---- training throughput + DP scaling proxy (VERDICT r3 item 3) ----
+    def _run_json(args, env=None):
+        try:
+            e = dict(os.environ, **(env or {}))
+            out = subprocess.run(
+                [sys.executable, "-u"] + args, capture_output=True, text=True,
+                timeout=560, env=e,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as exc:  # noqa: BLE001
+            return {"error": str(exc)[:200]}
+
+    train = _run_json([os.path.join("benchmarks", "train_bench.py")])
+    scaling = _run_json(
+        [os.path.join("benchmarks", "train_bench.py"), "--scaling-proxy"])
+
     degraded = len(errors)
     reads_per_s = len(sustained_fns) / sustained_dt if degraded == 0 else 0.0
     result = {
@@ -158,6 +211,25 @@ def main():
         "passthrough_reads_per_s": round(len(uni_fns) / passthrough_dt, 3),
         "baseline_reads_per_s": round(baseline["reads_per_s"], 3),
         "unitest_golden_exact": golden_exact,
+        # stage budget (seconds per 100 training reads) + attribution: the
+        # pipeline is LINK-bound — h2d_s vs device_s is the headline ratio
+        "stages": stages,
+        "mfu": mfu,
+        "link": {
+            "wire_mb_per_s": round(
+                stages.get("upload_mb", 0.0)
+                / max(stages.get("h2d_s", 1e-9), 1e-9), 1),
+            "upload_mb_per_read": round(
+                stages.get("upload_mb", 0.0)
+                / max(stages.get("n_reads", 1), 1), 3),
+            "link_bound_ceiling_reads_per_s": round(
+                stages.get("upload_mb", 0.0)
+                / max(stages.get("h2d_s", 1e-9), 1e-9)
+                / max(stages.get("upload_mb", 1e-9)
+                      / max(stages.get("n_reads", 1), 1), 1e-9), 1),
+        } if stages.get("upload_mb") else {},
+        "train": train,
+        "dp_scaling_proxy": scaling,
     }
     print(json.dumps(result))
 
