@@ -79,6 +79,10 @@ def get_args(argv=None):
     )
     p.add_argument("--align", default="reference", choices=["reference", "center"])
     # multi-host: N processes (one per host), deterministic file sharding
+    p.add_argument(
+        "--merged_output", default=None,
+        help="also emit ONE merged multi-fasta/fastq across all hosts "
+             "(shard-ordered, byte-deterministic; dist.merge_parts)")
     p.add_argument("--coordinator_address", default=None)
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
@@ -261,6 +265,7 @@ def main(argv=None) -> int:
         loaded = iter(())
     else:
         pool_ctx = cf.ThreadPoolExecutor(max_workers=max(1, args.thread))
+    merged_records: list = []
     with pool_ctx as pool:
         if mode != "model":
             prefetch = max(2 * max(1, args.thread), 64)
@@ -284,6 +289,10 @@ def main(argv=None) -> int:
                         )
                     write_read_fastq(fn, out_fn, seq, qual)
                 results.append(out_fn)
+                if args.merged_output:
+                    with open(out_fn) as _fp:
+                        header, body = _fp.read().split("\n", 1)
+                    merged_records.append((header, body))
                 if mode in ("model", "basecaller") and was_degraded(fn):
                     # loud degradation: a read that silently fell back to
                     # passthrough must never log success (the reference logs
@@ -308,6 +317,16 @@ def main(argv=None) -> int:
                     logger.error("[!!! Error] Basecalling")
                 else:
                     print(f"！！！[Error] fast5 file: {fn}: {exc}")
+
+    if args.merged_output:
+        # one merged multi-record file across all hosts: every rank writes
+        # its shard-ordered part; rank 0 concatenates in shard order
+        # (byte-deterministic regardless of host completion order)
+        from ..dist import merge_parts, write_merged_part
+
+        write_merged_part(args.output_dir, rank, merged_records)
+        if rank == 0:
+            merge_parts(args.output_dir, args.merged_output, world)
 
     if failed and args.failed_reads_filename:
         with open(args.failed_reads_filename, "w") as fp:

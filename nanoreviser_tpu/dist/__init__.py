@@ -81,12 +81,18 @@ def shard_files(
 ) -> list[str]:
     """Deterministic disjoint shard of a sorted file list.
 
-    Round-robin over the sorted order so long/short reads spread evenly
-    across hosts; every file is assigned to exactly one process (unlike the
-    reference, which silently drops the n mod pool_size remainder,
-    NanoReviser.py:212-219).
+    CONTIGUOUS slices of the sorted order (extra files go to the first
+    shards), so concatenating per-shard outputs in shard order reproduces
+    the global sorted order — merge_parts output is then byte-identical to
+    a single-process run. Every file is assigned to exactly one process
+    (unlike the reference, which silently drops the n mod pool_size
+    remainder, NanoReviser.py:212-219).
     """
-    return sorted(fns)[process_index::process_count]
+    fns = sorted(fns)
+    n, w, k = len(fns), process_count, process_index
+    base, extra = divmod(n, w)
+    start = k * base + min(k, extra)
+    return fns[start : start + base + (1 if k < extra else 0)]
 
 
 # ----------------------------------------------------- ordered output merge
