@@ -32,20 +32,28 @@ MODEL2 = "/root/reference/model/ecoli/ecoli_win13_50ep_model2.h5"
 
 
 def report_reads(engine, fast5_dir, fns):
-    from nanoreviser_tpu.infer.merge import merge_revision, revision_stats
+    from nanoreviser_tpu.infer.merge import (
+        calibrate_center_offset,
+        merge_revision,
+        revision_stats,
+    )
     from nanoreviser_tpu.io import get_read_data
 
     reads = [(fn, get_read_data(os.path.join(fast5_dir, fn))) for fn in fns]
     errors: list = []
     rows = []
+    off = None
     for name, rd, y1, y2 in engine.revise_stream(
         iter(reads), errors=errors, emit="labels"
     ):
         if y1 is None:
             continue
-        stats = revision_stats(rd.bases, y1, y2)
-        seq = merge_revision(rd.bases, y1, y2, align=engine.align,
-                             window=engine.window)
+        if off is None:
+            off, agree = calibrate_center_offset(rd.bases, y1, engine.window)
+            print(f"center offset: {off} (agreement {agree:.4f})")
+        stats = revision_stats(rd.bases, y1, y2, center_offset=off)
+        seq = merge_revision(rd.bases, y1, y2, align="center",
+                             window=engine.window, center_offset=off)
         stats["read"] = name
         stats["n_bases"] = rd.n_bases
         stats["revised_len"] = len(seq)

@@ -122,6 +122,9 @@ def profile(out=None, quiet=False):
     t = engine.window
     host_outs = [np.asarray(jax.tree_util.tree_leaves(fn_dev(engine._ws, d))[0])
                  for d in db]
+    from nanoreviser_tpu.infer.merge import calibrate_center_offset
+
+    off = None
     t0 = time.time()
     n_m = 0
     for bt, packed_all in zip(batches, host_outs):
@@ -131,7 +134,10 @@ def profile(out=None, quiet=False):
             pk = pk_all[r0 : r0 + wr]
             y1 = (pk >> 3).astype(np.int32)
             y2 = (pk & 7).astype(np.int32)
-            merge_revision(rd.bases, y1, y2, align=engine.align, window=t)
+            if off is None:
+                off, _ = calibrate_center_offset(rd.bases, y1, t)
+            merge_revision(rd.bases, y1, y2, align="center", window=t,
+                           center_offset=off)
             n_m += 1
     out["merge_s"] = time.time() - t0
     say(f"merge: {out['merge_s']:.3f}s ({out['merge_s']/n_m*1e3:.1f} ms/read)")

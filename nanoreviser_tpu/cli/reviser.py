@@ -77,7 +77,12 @@ def get_args(argv=None):
         help="basecaller .cfg path (default: <exe dir>/../data/"
              "dna_r9.4.1_450bps_hac.cfg, the reference's scheme)",
     )
-    p.add_argument("--align", default="reference", choices=["reference", "center"])
+    p.add_argument(
+        "--align", default="auto", choices=["auto", "reference", "center"],
+        help="prediction-to-base alignment: 'auto' calibrates the window-"
+             "center offset from the weights (production default); "
+             "'reference' reproduces the reference's dormant zip-from-0 "
+             "wiring (parity mode); 'center' uses the fixed (window-1)//2")
     # multi-host: N processes (one per host), deterministic file sharding
     p.add_argument(
         "--merged_output", default=None,

@@ -111,6 +111,7 @@ def merge_revision_with_quality(
     align: str = "reference",
     window: int = 13,
     fill_q: int = 20,
+    center_offset: int | None = None,
 ) -> tuple[str, str]:
     """merge_revision plus a phred-33 quality string from the models' max
     softmax probabilities (the reference's Guppy path emitted real qualities,
@@ -128,7 +129,7 @@ def merge_revision_with_quality(
         merged = np.concatenate([y1[:1], merged])
         mq = np.concatenate([q1[:1], mq])
     elif align == "center":
-        set_bef = (window - 1) // 2
+        set_bef = (window - 1) // 2 if center_offset is None else center_offset
         covered, cq = _merge_core_with_quality(
             base_codes[set_bef : set_bef + len(y1)], y1, y2, q1, q2, fill_q
         )
@@ -157,6 +158,7 @@ def revision_stats(
     bases: str,
     y1_labels: np.ndarray,
     y2_labels: np.ndarray,
+    center_offset: int = 0,
 ) -> dict:
     """Edit-op counts the merge would apply (model-path accuracy evidence).
 
@@ -170,6 +172,7 @@ def revision_stats(
                             sanity: most bases in a real read are correct)
     """
     base_codes = np.frombuffer(bases.encode("ascii"), dtype=np.uint8)
+    base_codes = base_codes[center_offset:]
     y = labels_to_bases(y1_labels, model2=False)
     z = labels_to_bases(y2_labels, model2=True)
     n = min(len(base_codes), len(y), len(z))
@@ -192,23 +195,58 @@ def revision_stats(
     }
 
 
+def calibrate_center_offset(
+    bases: str, y1_labels: np.ndarray, window: int = 13,
+    min_agreement: float = 0.5,
+) -> tuple[int, float]:
+    """Empirical window-center offset: argmax over shifts k of
+    agreement(model1 char for window i, base i+k).
+
+    Needed because the offset is a property of the WEIGHTS, not the code:
+    weights trained by this repo's pipeline encode k = (window-1)//2 = 6,
+    but the reference's shipped weights empirically encode k = 5 (an
+    off-by-one inside its own never-run inference path). On a real read most
+    bases are correct, so a discriminative model shows ~0.9+ agreement at
+    its true offset and ~0.25 (the base prior) elsewhere. Returns
+    (offset, agreement); falls back to (window-1)//2 when no shift clears
+    ``min_agreement`` (degenerate model — callers may warn)."""
+    b = np.frombuffer(bases.encode("ascii"), dtype=np.uint8)
+    y = labels_to_bases(np.asarray(y1_labels), model2=False)
+    best_k, best_a = (window - 1) // 2, -1.0
+    for k in range(window + 1):
+        n = min(len(b) - k, len(y))
+        if n < 64:
+            continue
+        a = float((y[:n] == b[k : k + n]).mean())
+        if a > best_a:
+            best_k, best_a = k, a
+    if best_a < min_agreement:
+        return (window - 1) // 2, best_a
+    return best_k, best_a
+
+
 def merge_revision(
     bases: str,
     y1_labels: np.ndarray,
     y2_labels: np.ndarray,
     align: str = "reference",
     window: int = 13,
+    center_offset: int | None = None,
 ) -> str:
     """Merge predictions into the revised read sequence.
 
     align="reference": reproduces the dormant reference wiring — predictions
     zip against the read from position 0 (get_base_1 semantics) with the
     first model1 char prepended; the tail beyond the prediction count is
-    dropped by zip truncation.
+    dropped by zip truncation. Because window i's prediction actually
+    encodes base i+offset, this emits the model-consensus sequence rotated
+    by the offset — kept for strict reference parity only.
 
     align="center": predictions are placed at their window-center base
-    (window i predicts base i + (window-1)//2); uncovered head/tail bases
-    pass through unchanged. This is the corrected alignment for production.
+    (window i predicts base i + center_offset; default (window-1)//2);
+    uncovered head/tail bases pass through unchanged. Production mode —
+    the engine calibrates center_offset per weights
+    (calibrate_center_offset).
     """
     base_codes = np.frombuffer(bases.encode("ascii"), dtype=np.uint8)
     y1 = labels_to_bases(y1_labels, model2=False)
@@ -218,7 +256,7 @@ def merge_revision(
         merged = merge_core(base_codes, y1, y2)
         merged = np.concatenate([y1[:1], merged])
     elif align == "center":
-        set_bef = (window - 1) // 2
+        set_bef = (window - 1) // 2 if center_offset is None else center_offset
         covered = merge_core(base_codes[set_bef : set_bef + len(y1)], y1, y2)
         merged = np.concatenate(
             [

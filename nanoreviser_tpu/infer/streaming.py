@@ -68,7 +68,11 @@ from ..ops.window_gather import (
 from ..ops.window_gather import BLK as GBLK
 from ..ops.window_gather import META_ROWS
 from ..signal.host_prep import QUERY_LEN, CompactRead, compact_read
-from .merge import merge_revision, merge_revision_with_quality
+from .merge import (
+    calibrate_center_offset,
+    merge_revision,
+    merge_revision_with_quality,
+)
 
 DEFAULT_BLOCK = 256
 DEFAULT_BATCH_WINDOWS = 393216      # windows per device batch (~40 reads):
@@ -132,7 +136,7 @@ class StreamingReviser:
         model2_path: str,
         *,
         block: int = DEFAULT_BLOCK,
-        align: str = "reference",
+        align: str = "auto",
         batch_windows: int | None = None,
         r_max: int = DEFAULT_R_MAX,
         emit_quality: bool = False,
@@ -155,6 +159,13 @@ class StreamingReviser:
         self.n_classes = (nc1, nc2)
         self.block = block
         self.align = align
+        # "auto": the window-center offset is a property of the WEIGHTS
+        # (ours encode (window-1)//2; the reference's shipped weights encode
+        # one less — an off-by-one in its never-run inference wiring), so it
+        # is calibrated empirically from the first revised read
+        # (merge.calibrate_center_offset).
+        self._center_offset: int | None = (
+            None if align == "auto" else (win1 - 1) // 2)
         self.emit_quality = emit_quality
         self.max_in_flight = max_in_flight
         self.cfg = ReviserConfig(window=win1, n_classes=nc1)
@@ -435,6 +446,26 @@ class StreamingReviser:
 
         return _Pending(metas, self._fetch_pool.submit(fetch))
 
+    def _merge_mode(self) -> str:
+        return "reference" if self.align == "reference" else "center"
+
+    def _calibrate(self, bases: str, y1: np.ndarray) -> None:
+        """Lazy per-weights center-offset calibration (align="auto")."""
+        off, agree = calibrate_center_offset(bases, y1, self.window)
+        self._center_offset = off
+        import logging
+
+        logging.getLogger("nanoreviser_tpu").info(
+            "center offset calibrated: %d (model1 agreement %.3f)",
+            off, agree,
+        )
+        if agree < 0.5:
+            logging.getLogger("nanoreviser_tpu").warning(
+                "center-offset calibration found no confident alignment "
+                "(best agreement %.3f) — model may be degenerate; using "
+                "the default center %d", agree, off,
+            )
+
     def _finish(self, pending: _Pending, emit: str = "seq"):
         host = pending.future.result()
         packed_all = host[0]                           # [D, W]
@@ -455,16 +486,21 @@ class StreamingReviser:
                 y2 = (pk & 7).astype(np.int32)
                 if emit == "labels":
                     yield name, read, y1, y2
-                elif q is not None:
+                    continue
+                if self._center_offset is None and wr >= 64:
+                    self._calibrate(read.bases, y1)
+                if q is not None:
                     seq, qual = merge_revision_with_quality(
                         read.bases, y1, y2,
                         q[0, r0 : r0 + wr], q[1, r0 : r0 + wr],
-                        align=self.align, window=t,
+                        align=self._merge_mode(), window=t,
+                        center_offset=self._center_offset,
                     )
                     yield name, read, seq, qual
                 else:
                     seq = merge_revision(
-                        read.bases, y1, y2, align=self.align, window=t
+                        read.bases, y1, y2, align=self._merge_mode(),
+                        window=t, center_offset=self._center_offset,
                     )
                     yield name, read, seq, None
 

@@ -153,13 +153,43 @@ def train_model(
     history: dict[str, list] = {
         "loss": [], "accuracy": [], "val_loss": [], "val_accuracy": [],
     }
+    def prefetched(batches, depth: int = 2):
+        """Host->device batch pipeline: device_put of batch k+1/k+2 runs on
+        an upload thread while step k computes. Over the tunnel-attached
+        chip the synchronous per-dispatch transfer (~1.4 MB + RTT) was the
+        train loop's dominant cost (~9 steps/s real vs 57 steps/s with
+        resident batches); prefetching overlaps it with compute."""
+        if mesh is None or multiproc:
+            # multi-host placement (make_array_from_process_local_data) has
+            # its own collective ordering — keep it on the caller thread
+            for b in batches:
+                yield globalize(b)
+            return
+        import collections
+        import concurrent.futures as cf
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("dp"))
+        ex = cf.ThreadPoolExecutor(1)
+        q: collections.deque = collections.deque()
+        try:
+            for b in batches:
+                q.append(ex.submit(jax.device_put, b, sh))
+                if len(q) > depth:
+                    yield q.popleft().result()
+            while q:
+                yield q.popleft().result()
+        finally:
+            ex.shutdown(wait=False)
+
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses, accs = [], []
-        for bi, batch in enumerate(it.epoch()):
+        for bi, batch in enumerate(prefetched(it.epoch())):
             rng, drop = jax.random.split(rng)
             params, opt_state, metrics = step(
-                params, opt_state, globalize(batch), drop
+                params, opt_state, batch, drop
             )
             losses.append(metrics["loss"])
             accs.append(metrics["accuracy"])
