@@ -157,13 +157,18 @@ def main():
         t_len = 13
         per_window_mac = (198656 + 37056) * t_len
         per_base_mac = 36400 + 768 + 16384 + 196608 + 131072
-        w_batch = 393216
-        flops_exec = 2 * 2 * w_batch * (per_window_mac + per_base_mac)
-        flops_naive = 2 * 2 * w_batch * (580544 * t_len + 36400)
-        dev_s = stages.get("device_s", 0.0) / max(stages.get("n_batches", 1), 1)
-        if dev_s > 0:
+        # valid-window block skipping means the kernel computes ~one window
+        # per packed base row (within block rounding)
+        rows_total = stages.get("total_rows", 0)
+        w_total = rows_total
+        flops_exec = 2 * 2 * (per_window_mac * w_total
+                              + per_base_mac * rows_total)
+        flops_naive = 2 * 2 * rows_total * (580544 * t_len + 36400)
+        dev_s = stages.get("device_s", 0.0)
+        if dev_s > 0 and w_total:
             mfu = {
-                "device_ms_per_batch": round(dev_s * 1e3, 1),
+                "device_ms_per_batch": round(
+                    dev_s / stages["n_batches"] * 1e3, 1),
                 "kernel_tflops_executed": round(flops_exec / dev_s / 1e12, 1),
                 "kernel_mfu_executed": round(flops_exec / dev_s / 197e12, 3),
                 "naive_math_equiv_tflops": round(

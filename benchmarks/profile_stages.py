@@ -170,6 +170,8 @@ def profile(out=None, quiet=False):
            for k, v in out.items()}
     out["n_batches"] = len(batches)
     out["n_reads"] = len(fns)
+    out["total_rows"] = int(sum(bt.rows for bt in batches))
+    out["batch_windows"] = int(engine.w_max)
     return out
 
 
