@@ -44,8 +44,8 @@ import numpy as np
 from ..signal.host_prep import (
     CompactRead,
     _pool_init,
+    _pool_prep_chunk,
     _pool_prep_one,
-    _pool_prep_to_slot,
     _slot_views,
     slot_layout,
 )
@@ -68,7 +68,8 @@ class PrepPool:
         basecall_subgroup: str = "BaseCalled_template",
         slot_bases: int = DEFAULT_SLOT_BASES,
         slot_samples: int = DEFAULT_SLOT_SAMPLES,
-        n_slots: int = 8,
+        n_slots: int = 16,
+        chunk: int = 4,
     ):
         if n_workers is None:
             n_workers = max(1, os.cpu_count() or 1)
@@ -77,6 +78,7 @@ class PrepPool:
         self.subgroup = basecall_subgroup
         self.slot_bases = slot_bases
         self.slot_samples = slot_samples
+        self.chunk = chunk
         self._pool = None
         self._slot_paths: list[str] = []
         self._slot_maps: list[np.ndarray] = []
@@ -129,38 +131,48 @@ class PrepPool:
         free = collections.deque(range(len(self._slot_paths)))
         queue: collections.deque = collections.deque()
 
-        def submit(fn):
-            slot = free.popleft() if free else -1
-            path = self._slot_paths[slot] if slot >= 0 else None
+        def submit(chunk_fns):
+            slots, paths = [], []
+            for _ in chunk_fns:
+                s = free.popleft() if free else -1
+                slots.append(s)
+                paths.append(self._slot_paths[s] if s >= 0 else None)
             fut = self._pool.apply_async(
-                _pool_prep_to_slot,
-                (os.path.join(base_dir, fn), path, self.slot_bases,
-                 self.slot_samples),
+                _pool_prep_chunk,
+                ([os.path.join(base_dir, fn) for fn in chunk_fns], paths,
+                 self.slot_bases, self.slot_samples),
             )
-            queue.append((fn, slot, fut))
+            queue.append((chunk_fns, slots, fut))
 
-        def emit(fn, slot, fut):
-            small, err = fut.get()
-            if err is not None:
-                prepped = None
-            elif isinstance(small, CompactRead):
-                prepped = small            # pickle-transport fallback
-            else:
-                n_bases, m_samples, shift, scale, bases = small
-                csig, pos0, feats, vlen = _slot_views(
-                    self._slot_maps[slot], layout, n_bases, m_samples)
-                prepped = CompactRead(
-                    bases=bases, csig=csig, pos0=pos0, vlen=vlen,
-                    feats=feats, shift=shift, scale=scale,
-                )
-            yield fn, prepped, err
-            if slot >= 0:
-                free.append(slot)          # recycled once the caller advances
+        def emit(chunk_fns, slots, fut):
+            for (fn, slot, (small, err)) in zip(chunk_fns, slots, fut.get()):
+                if err is not None:
+                    prepped = None
+                elif isinstance(small, CompactRead):
+                    prepped = small        # pickle-transport fallback
+                else:
+                    n_bases, m_samples, shift, scale, bases = small
+                    csig, pos0, feats, vlen = _slot_views(
+                        self._slot_maps[slot], layout, n_bases, m_samples)
+                    prepped = CompactRead(
+                        bases=bases, csig=csig, pos0=pos0, vlen=vlen,
+                        feats=feats, shift=shift, scale=scale,
+                    )
+                yield fn, prepped, err
+                if slot >= 0:
+                    free.append(slot)      # recycled once the caller advances
 
+        pending_fns: list = []
+        max_chunks = max(2, prefetch // max(self.chunk, 1))
         for fn in fns:
-            submit(fn)
-            if len(queue) >= prefetch or not free:
+            pending_fns.append(fn)
+            if len(pending_fns) >= self.chunk:
+                submit(pending_fns)
+                pending_fns = []
+            if len(queue) >= max_chunks or len(free) < self.chunk:
                 yield from emit(*queue.popleft())
+        if pending_fns:
+            submit(pending_fns)
         while queue:
             yield from emit(*queue.popleft())
 

@@ -424,6 +424,16 @@ def _slot_views(buf, layout, n_bases: int, m_samples: int):
     return csig, pos0, feats, vlen
 
 
+def _pool_prep_chunk(paths: list, slot_paths: list, cap_bases: int,
+                     cap_samples: int):
+    """Decode + compact a CHUNK of fast5s (one IPC round trip amortizes the
+    Pool's per-task pickle/dispatch overhead over several reads)."""
+    return [
+        _pool_prep_to_slot(p, s, cap_bases, cap_samples)
+        for p, s in zip(paths, slot_paths)
+    ]
+
+
 def _pool_prep_to_slot(path: str, slot_path: str | None, cap_bases: int,
                        cap_samples: int):
     """Decode + compact one fast5, writing the big arrays into a
