@@ -10,9 +10,10 @@ binding constraint, NOT the chip) and of the chip (fused dual-model kernel
                     event moments, f16 feature rows) on worker processes
                     (infer.hostpipe) or the caller's threads
   batch assembly:   MANY reads concatenated into ONE fixed-shape buffer —
-                    reversed compacted signal + per-block gather metadata +
-                    f16 features (~30 B/base vs 121 B/base when windows were
-                    host-gathered; the upload is what the ~60 MB/s tunnel
+                    reversed compacted signal + one packed int32 gather-meta
+                    row per 128-row block + per-read normalizer tables +
+                    f16 features (~40 B/base vs 121 B/base when windows were
+                    host-gathered; the upload is what the 26-66 MB/s tunnel
                     actually moves, so bytes/base is the headline number)
   upload:           one contiguous h2d per batch (async)
   device (1 jit):   ops.window_gather Pallas kernel (reversed-Toeplitz roll
@@ -67,7 +68,7 @@ from ..ops.window_gather import (
 )
 from ..ops.window_gather import BLK as GBLK
 from ..ops.window_gather import META_ROWS
-from ..signal.host_prep import QUERY_LEN, CompactRead, compact_read
+from ..signal.host_prep import CompactRead, compact_read
 from .merge import (
     calibrate_center_offset,
     merge_revision,

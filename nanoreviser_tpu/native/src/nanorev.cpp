@@ -554,26 +554,17 @@ herr_t_ first_child_cb(hid_t_, const char* name, const void*, void* data) {
 // reads the version attribute as text; empty when missing
 bool read_version(hid_t_ grp, std::string* out) {
   out->clear();
-  const bool dbg = getenv("NANOREV_DEBUG") != nullptr;
-  int ex = api.H5Aexists(grp, "version");
-  if (dbg) std::fprintf(stderr, "[nr] H5Aexists=%d\n", ex);
-  if (ex <= 0) return false;
+  if (api.H5Aexists(grp, "version") <= 0) return false;
   hid_t_ attr = api.H5Aopen(grp, "version", 0);
-  if (dbg) std::fprintf(stderr, "[nr] H5Aopen=%lld\n", (long long)attr);
   if (attr < 0) return false;
   hid_t_ ftype = api.H5Aget_type(attr);
   bool got = false;
-  if (getenv("NANOREV_DEBUG"))
-    std::fprintf(stderr, "[nr] is_var=%d\n", api.H5Tis_variable_str(ftype));
   if (api.H5Tis_variable_str(ftype) > 0) {
     hid_t_ mtype = api.H5Tcopy(*api.c_s1);
     api.H5Tset_size(mtype, size_t(-1));     // H5T_VARIABLE
     api.H5Tset_cset(mtype, api.H5Tget_cset(ftype));  // match file charset
     char* p = nullptr;
-    herr_t_ rrc = api.H5Aread(attr, mtype, &p);
-    if (getenv("NANOREV_DEBUG"))
-      std::fprintf(stderr, "[nr] vlen H5Aread=%d p=%p\n", rrc, (void*)p);
-    if (rrc >= 0 && p) {
+    if (api.H5Aread(attr, mtype, &p) >= 0 && p) {
       out->assign(p);
       api.H5free_memory(p);
       got = true;
@@ -795,23 +786,6 @@ int64_t nr_fast5_compact(
   return total;
 }
 
-// temporary debug probe
-int nr_debug_version(const char* path, const char* group_path,
-                     char* out, int cap) {
-  using h5::api;
-  if (!api.ok) return -1;
-  hid_t_ file = api.H5Fopen(path, 0, 0);
-  if (file < 0) return -3;
-  hid_t_ grp = api.H5Gopen2(file, group_path, 0);
-  if (grp < 0) { api.H5Fclose(file); return -4; }
-  std::string ver;
-  bool present = h5::read_version(grp, &ver);
-  std::snprintf(out, size_t(cap), "%s", ver.c_str());
-  int legacy = h5::version_leq_zero(ver, present) ? 1 : 0;
-  api.H5Gclose(grp);
-  api.H5Fclose(file);
-  return present ? legacy : (10 + legacy);
-}
 
 }  // extern "C"
 

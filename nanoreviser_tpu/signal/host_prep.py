@@ -1,18 +1,23 @@
-"""Host-side per-read preparation: raw int16 windows + f16 features.
+"""Host-side per-read preparation for the compacted upload format.
 
-Why this exists (measured on the attached TPU, 131k-window batch):
-the original design gathered 50-sample signal windows ON DEVICE with a
-vmapped ``lax.dynamic_slice`` — 158 ms/batch, 3x the cost of the entire
-fused dual-model Pallas kernel (50 ms). A TPU is a tiled vector machine;
-131k independent unaligned 50-element slices is the worst op to give it.
-The same gather is a single numpy fancy-index on the host (~0.3 ms/read,
-C-speed memcpy), so the production pipeline now ships *pre-gathered* raw
-int16 windows and final f16 feature rows, and the device does only
-elementwise normalize/mask work before the model kernel.
+Production flow (ops/window_gather.py consumes this): each read's raw int16
+signal is COMPACTED to the union of its per-base window intervals (gaps
+larger than the 50-sample window — translocation stalls — are dropped),
+giving ~20 B/base of signal plus per-base gather starts, valid lengths and
+f16 features. Two properties matter:
 
-Per-read host cost (2-core host): ~1.2 ms on top of the ~4 ms fast5
-decode; both run on worker processes (infer.hostpipe), so the device no
-longer waits on a 173 ms/batch preprocessing program.
+* the tunnel-attached chip's h2d link (~26-66 MB/s measured) is the
+  pipeline bottleneck, and compacted-signal upload is ~3x smaller than the
+  pre-gathered windows it replaced (100 B/base, 5.9x duplicated signal);
+* after compaction consecutive window starts differ by <= 50 samples, so a
+  128-row device block's signal span is hard-bounded — the invariant the
+  on-device Pallas gather's chunk DMA depends on
+  (tests/test_window_gather.py pins it).
+
+Three implementations, all bit-exact with each other (tests/test_native.py):
+nr_fast5_compact (C++: direct HDF5 decode + compaction in ONE call — the
+hostpipe worker fast path), nr_compact_read (C++ from a decoded ReadData),
+and compact_read_numpy (pure numpy fallback).
 
 Behavioral contract is identical to signal.segmentation.segment_signal /
 signal.features.assemble_features (reference preprocessing.py:85-170,
@@ -23,11 +28,12 @@ nanorevtrainutils.py:160-169):
   happens on device after normalization (a raw 0 DAC value is NOT signal
   zero), via the shipped per-row valid length;
 * event moments are exact int64 prefix-sum population moments over
-  [st, next_st) (last base: the 3/5-rule duration), in f64 — *better*
-  parity with the reference than the old on-device f32 block-local sums;
+  [st, next_st) (last base: the 3/5-rule duration), in f64;
 * the 6 feature columns are [color/300, ev_mean/shift, ev_std/scale,
-  duration/10, ab_mean, ab_std], rounded once to f16 (the model consumes
-  bf16, which is coarser, so f16 rounding is below input quantization).
+  duration/10, ab_mean, ab_std], rounded ONCE from f64 to f16 (all paths).
+
+The legacy windowed prep (PreppedRead/prep_read*) remains as the host-side
+reference for parity tests of the device gather semantics.
 """
 
 from __future__ import annotations
