@@ -148,25 +148,27 @@ def main():
     except Exception as exc:  # noqa: BLE001 — diagnostics must not kill bench
         stages = {"error": str(exc)[:200]}
 
-    # kernel MFU (executed math, hoisted, unpadded — see ops/reviser_kernel):
-    # per window per model: recurrent matmuls 198656 MAC/t * T + heads
-    # 37056 MAC/t * T; per base per model: conv branch 36400 + input
-    # projections 344832 MAC. FLOP = 2*MAC; 2 models; v5e bf16 peak 197e12.
+    # kernel MFU: algorithmic MAC counts come from ONE derivation shared with
+    # the kernel (ops.reviser_kernel.executed_mac_counts) and T comes from the
+    # loaded weights (engine.window — 11 for the shipped ecoli files, not the
+    # advertised 13). FLOP = 2*MAC; 2 models; v5e bf16 peak 197e12.
     mfu = {}
     try:
-        t_len = 13
-        per_window_mac = (198656 + 37056) * t_len
-        per_base_mac = 36400 + 768 + 16384 + 196608 + 131072
+        from nanoreviser_tpu.ops.reviser_kernel import executed_mac_counts
+
+        t_len = engine.window
+        mc = executed_mac_counts(t_len)
         # valid-window block skipping means the kernel computes ~one window
         # per packed base row (within block rounding)
         rows_total = stages.get("total_rows", 0)
         w_total = rows_total
-        flops_exec = 2 * 2 * (per_window_mac * w_total
-                              + per_base_mac * rows_total)
-        flops_naive = 2 * 2 * rows_total * (580544 * t_len + 36400)
+        flops_exec = 2 * 2 * (mc["per_window"] * w_total
+                              + mc["per_base"] * rows_total)
+        flops_naive = 2 * 2 * w_total * mc["naive_per_window"]
         dev_s = stages.get("device_s", 0.0)
         if dev_s > 0 and w_total:
             mfu = {
+                "t_len": t_len,
                 "device_ms_per_batch": round(
                     dev_s / stages["n_batches"] * 1e3, 1),
                 "kernel_tflops_executed": round(flops_exec / dev_s / 1e12, 1),

@@ -122,7 +122,8 @@ def merge_parts(
 ) -> str:
     """Process 0: await every shard's part over the shared FS, concatenate
     in shard order, remove the parts. Deterministic: shard k's records come
-    from the sorted file list's k-th round-robin slice."""
+    from the k-th CONTIGUOUS slice of the sorted file list (shard_files), so
+    the merged output is byte-identical to a single-process run."""
     parts = [
         os.path.join(out_dir, f"merged.part{k:05d}")
         for k in range(process_count)

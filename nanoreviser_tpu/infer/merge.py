@@ -197,7 +197,7 @@ def revision_stats(
 
 def calibrate_center_offset(
     bases: str, y1_labels: np.ndarray, window: int = 13,
-    min_agreement: float = 0.5,
+    min_agreement: float = 0.5, min_n: int = 64,
 ) -> tuple[int, float]:
     """Empirical window-center offset: argmax over shifts k of
     agreement(model1 char for window i, base i+k).
@@ -209,13 +209,15 @@ def calibrate_center_offset(
     bases are correct, so a discriminative model shows ~0.9+ agreement at
     its true offset and ~0.25 (the base prior) elsewhere. Returns
     (offset, agreement); falls back to (window-1)//2 when no shift clears
-    ``min_agreement`` (degenerate model — callers may warn)."""
+    ``min_agreement`` (degenerate model — callers may warn). ``min_n`` is
+    the per-shift sample floor; the engine lowers it for end-of-stream
+    calibration when every read in the stream was short."""
     b = np.frombuffer(bases.encode("ascii"), dtype=np.uint8)
     y = labels_to_bases(np.asarray(y1_labels), model2=False)
     best_k, best_a = (window - 1) // 2, -1.0
     for k in range(window + 1):
         n = min(len(b) - k, len(y))
-        if n < 64:
+        if n < min_n:
             continue
         a = float((y[:n] == b[k : k + n]).mean())
         if a > best_a:

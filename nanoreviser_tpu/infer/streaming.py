@@ -61,6 +61,7 @@ from ..ops.reviser_kernel import (
 from ..ops.window_gather import (
     ALIGN,
     DMA_LEN,
+    R_CAP,
     pack_block_meta,
     pack_read_tables,
     window_gather_tpu,
@@ -83,7 +84,7 @@ DEFAULT_BATCH_WINDOWS = 196608      # windows per device batch (~20 reads).
                                     # beating 393216 by ~19% e2e (127 vs
                                     # 107 reads/s over the 100-read set)
 DEFAULT_R_MAX = 144                 # max reads per batch
-SAMPLES_PER_ROW = 12                # signal budget per base row (avg ~10.2)
+SAMPLES_PER_ROW = 12                # signal budget per base row (avg ~9.9)
 SIG_HEAD = 64                       # slack before the first read's signal
 
 
@@ -175,8 +176,17 @@ class StreamingReviser:
         self.cfg = ReviserConfig(window=win1, n_classes=nc1)
 
         assert batch_windows % block == 0
+        if r_max > R_CAP:
+            raise ValueError(
+                f"r_max={r_max} exceeds the gather kernel's per-batch read "
+                f"table capacity R_CAP={R_CAP} (read ids are packed into 8 "
+                f"bits of the block meta)")
         self.w_max = batch_windows
         self.r_max = r_max
+        # reads merged before the center offset is calibrated would silently
+        # ride the default (off by one for the reference's shipped weights) —
+        # they are deferred here until calibration (round-4 advisor finding)
+        self._precal: list = []
         self._use_pallas = use_pallas
 
         # size tiers: 1/8, 1/4, 1/2, full. Small directories and tail
@@ -470,6 +480,27 @@ class StreamingReviser:
                 "the default center %d", agree, off,
             )
 
+    def _merge_one(self, name, read, y1, y2, q1, q2):
+        t = self.window
+        if q1 is not None:
+            seq, qual = merge_revision_with_quality(
+                read.bases, y1, y2, q1, q2,
+                align=self._merge_mode(), window=t,
+                center_offset=self._center_offset,
+            )
+            return name, read, seq, qual
+        seq = merge_revision(
+            read.bases, y1, y2, align=self._merge_mode(),
+            window=t, center_offset=self._center_offset,
+        )
+        return name, read, seq, None
+
+    def _flush_precal(self):
+        """Merge + yield reads deferred while the center offset was unknown."""
+        stash, self._precal = self._precal, []
+        for item in stash:
+            yield self._merge_one(*item)
+
     def _finish(self, pending: _Pending, emit: str = "seq"):
         host = pending.future.result()
         packed_all = host[0]                           # [D, W]
@@ -491,22 +522,19 @@ class StreamingReviser:
                 if emit == "labels":
                     yield name, read, y1, y2
                     continue
-                if self._center_offset is None and wr >= 64:
-                    self._calibrate(read.bases, y1)
-                if q is not None:
-                    seq, qual = merge_revision_with_quality(
-                        read.bases, y1, y2,
-                        q[0, r0 : r0 + wr], q[1, r0 : r0 + wr],
-                        align=self._merge_mode(), window=t,
-                        center_offset=self._center_offset,
-                    )
-                    yield name, read, seq, qual
-                else:
-                    seq = merge_revision(
-                        read.bases, y1, y2, align=self._merge_mode(),
-                        window=t, center_offset=self._center_offset,
-                    )
-                    yield name, read, seq, None
+                q1 = q[0, r0 : r0 + wr] if q is not None else None
+                q2 = q[1, r0 : r0 + wr] if q is not None else None
+                if self._center_offset is None:
+                    if wr >= 64:
+                        self._calibrate(read.bases, y1)
+                        yield from self._flush_precal()
+                    else:
+                        # too short to calibrate confidently — defer the
+                        # merge until an offset is established (or the
+                        # stream ends: revise_stream force-calibrates)
+                        self._precal.append((name, read, y1, y2, q1, q2))
+                        continue
+                yield self._merge_one(name, read, y1, y2, q1, q2)
 
     def revise_stream(self, items, errors: list | None = None,
                       emit: str = "seq"):
@@ -516,9 +544,12 @@ class StreamingReviser:
         directly; ReadData items are compacted inline (signal.host_prep) on
         the calling thread.
 
-        Yields (name, read, revised_seq, qual_or_None) in input order; with
-        emit="labels" yields (name, read, y1, y2) raw per-window class labels
-        instead (accuracy tooling; degraded reads yield y1 = y2 = None).
+        Yields (name, read, revised_seq, qual_or_None) in input order
+        (deterministic caveats: degraded reads are emitted at input time,
+        ahead of in-flight successful reads, and with align="auto" reads too
+        short to calibrate the center offset are deferred until calibration);
+        with emit="labels" yields (name, read, y1, y2) raw per-window class
+        labels instead (accuracy tooling; degraded reads yield y1 = y2 = None).
 
         Reads are packed into fixed-shape device batches; up to
         ``max_in_flight`` batches overlap decode, h2d, compute, and the
@@ -617,6 +648,24 @@ class StreamingReviser:
         flush(force=True)
         while pending:
             yield from drain(pending.popleft())
+        if self._precal:
+            # every read in the stream was too short for confident
+            # calibration — calibrate from the longest one with the sample
+            # floor lowered, loudly (round-4 advisor finding: ending the
+            # stream uncalibrated must not silently use the default offset)
+            import logging
+
+            longest = max(self._precal, key=lambda it: len(it[2]))
+            off, agree = calibrate_center_offset(
+                longest[1].bases, longest[2], self.window, min_n=8)
+            self._center_offset = off
+            logging.getLogger("nanoreviser_tpu").warning(
+                "stream ended before a read long enough for confident "
+                "center-offset calibration; calibrated from a %d-window "
+                "read: offset %d (agreement %.3f)",
+                len(longest[2]), off, agree,
+            )
+            yield from self._flush_precal()
 
     def revise_read(self, read: ReadData) -> str:
         for _, _, seq, _ in self.revise_stream([("", read)]):

@@ -200,3 +200,46 @@ def test_streaming_error_degrades_to_passthrough(small_streaming, truncated_read
     assert out[0][2] == bad.bases          # degraded to original bases
     assert len(errors) == 1 and errors[0][0] == "bad.fast5"
     assert out[1][2] == _host_oracle_seq(small_streaming, truncated_read)
+
+
+@pytest.mark.slow
+def test_short_reads_deferred_until_calibration(
+    ecoli_model_paths, unitest_fast5_files, truncated_read, caplog
+):
+    """align='auto' must never merge a read with the uncalibrated default
+    offset (round-4 advisor finding): short reads arriving before the first
+    calibratable read are deferred and merged with the calibrated offset."""
+    import logging
+
+    import jax
+
+    from nanoreviser_tpu.infer import StreamingReviser
+
+    short = _truncate(get_read_data(str(unitest_fast5_files[1])), 40)
+    m1, m2 = map(str, ecoli_model_paths)
+
+    def fresh():
+        return StreamingReviser(
+            m1, m2, batch_windows=1024, r_max=8, devices=jax.devices()[:1]
+        )
+
+    # short read FIRST, calibrating read second: the short read's merge must
+    # use the calibrated offset — identical to merging it on an engine that
+    # calibrated beforehand
+    eng = fresh()
+    out = {n: s for n, _, s, _ in
+           eng.revise_stream([("s", short), ("l", truncated_read)])}
+    eng2 = fresh()
+    eng2.revise_read(truncated_read)          # calibrate first
+    assert eng._center_offset == eng2._center_offset
+    assert out["s"] == eng2.revise_read(short)
+    assert out["l"] == eng2.revise_read(truncated_read)
+
+    # an entire stream of short reads: end-of-stream force-calibration with
+    # a loud warning, still yielding every read
+    eng3 = fresh()
+    with caplog.at_level(logging.WARNING, logger="nanoreviser_tpu"):
+        outs = list(eng3.revise_stream([("a", short), ("b", short)]))
+    assert len(outs) == 2 and all(seq for _, _, seq, _ in outs)
+    assert eng3._center_offset is not None
+    assert any("calibration" in r.message for r in caplog.records)
