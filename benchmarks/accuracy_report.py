@@ -66,7 +66,18 @@ def main():
     from nanoreviser_tpu.infer import StreamingReviser
     from nanoreviser_tpu.io import list_fast5_files
 
-    engine = StreamingReviser(MODEL1, MODEL2)
+    # --species human profiles the reference's DEFAULT pair (-S human) and
+    # only prints the JSON line (ACCURACY.md is the curated document; its
+    # §2 embeds these outputs rather than being overwritten)
+    m1, m2, write_md = MODEL1, MODEL2, "--no-write" not in sys.argv
+    if "--species" in sys.argv:
+        sp = sys.argv[sys.argv.index("--species") + 1]
+        base = f"/root/reference/model/{sp}"
+        m1 = os.path.join(base, f"{sp}_win13_50ep_model1.h5")
+        m2 = os.path.join(base, f"{sp}_win13_50ep_model2.h5")
+        write_md = False
+
+    engine = StreamingReviser(m1, m2)
     fns = list_fast5_files(UNITEST_DIR)
     rows, errors = report_reads(engine, UNITEST_DIR, fns)
 
@@ -118,9 +129,10 @@ def main():
         "measured on this checkout: the training genome is a missing blob,",
         "SURVEY.md §4.)",
     ]
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "ACCURACY.md"), "w") as fp:
-        fp.write("\n".join(lines) + "\n")
+    if write_md:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "ACCURACY.md"), "w") as fp:
+            fp.write("\n".join(lines) + "\n")
 
     print(json.dumps({
         "reads": len(all_rows),

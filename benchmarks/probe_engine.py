@@ -18,11 +18,12 @@ def main():
 
     from nanoreviser_tpu.infer import StreamingReviser
     from nanoreviser_tpu.io import get_read_data, list_fast5_files
-    from nanoreviser_tpu.signal.host_prep import prep_read
+    from nanoreviser_tpu.infer.wire import encode_read
+    from nanoreviser_tpu.signal.host_prep import compact_read
 
     fns = list_fast5_files(TRAIN_DIR)
     reads = [(fn, get_read_data(os.path.join(TRAIN_DIR, fn))) for fn in fns]
-    prepped = [(fn, prep_read(rd)) for fn, rd in reads]
+    prepped = [(fn, encode_read(compact_read(rd))) for fn, rd in reads]
 
     t0 = time.time()
     engine = StreamingReviser(MODEL1, MODEL2)

@@ -59,6 +59,14 @@ def profile(out=None, quiet=False):
     out["compact_s"] = time.time() - t0
     say(f"compact: {out['compact_s']:.3f}s ({out['compact_s']/len(fns)*1e3:.1f} ms/read)")
 
+    from nanoreviser_tpu.infer.wire import encode_read
+
+    t0 = time.time()
+    wire = [(fn, encode_read(c)) for fn, c in compact]
+    out["encode_s"] = time.time() - t0
+    say(f"wire encode: {out['encode_s']:.3f}s "
+        f"({out['encode_s']/len(fns)*1e3:.2f} ms/read)")
+
     with PrepPool(2) as pool:
         list(pool.stream(TRAIN_DIR, fns[:4]))      # warm the workers
         t0 = time.time()
@@ -73,7 +81,7 @@ def profile(out=None, quiet=False):
     t0 = time.time()
     batches = []
     b = engine._new_batch()
-    for (name, rd), (_, c) in zip(reads, compact):
+    for (name, rd), (_, c) in zip(reads, wire):
         if not engine._add_read(b, name, rd, c):
             batches.append(b)
             b = engine._new_batch()
@@ -145,10 +153,10 @@ def profile(out=None, quiet=False):
     for _ in range(2):
         t0 = time.time()
         errors = []
-        n = sum(1 for _ in engine.revise_stream(iter(compact), errors=errors))
+        n = sum(1 for _ in engine.revise_stream(iter(wire), errors=errors))
         out["e2e_s"] = time.time() - t0
         assert not errors, errors[:2]
-    say(f"e2e (pre-compacted): {out['e2e_s']:.3f}s "
+    say(f"e2e (pre-encoded): {out['e2e_s']:.3f}s "
         f"({len(fns)/out['e2e_s']:.1f} reads/s)")
 
     with PrepPool(2) as pool:

@@ -4,13 +4,15 @@ The 2-core host is the pipeline's second bottleneck after the tunnel: fast5
 decode is ~4 ms/read of h5py/HDF5 work that does NOT release the GIL, so
 host threads cannot scale it — worker *processes* can. Each worker runs
 signal.host_prep.compact_fast5 (decode -> window-interval compaction ->
-exact moments -> f16 features); the big arrays (csig/pos0/feats/vlen,
-~30 B/base) travel back through a ring of /dev/shm slots as zero-copy numpy
-views — pickling them through the Pool's result pipe cost a measured
-~1.5 ms/read of main-process unpickle, more than the prep itself. Only the
-small fields (bases string, normalizers) ride the result pickle.
+exact moments -> f16 features) plus infer.wire.encode_read (zig-zag signal
+deltas, pos deltas, escape lists); the big wire arrays (~20 B/base) travel
+back through a ring of /dev/shm slots as zero-copy numpy views — pickling
+them through the Pool's result pipe cost a measured ~1.5 ms/read of
+main-process unpickle, more than the prep itself. Only the small fields
+(bases string, normalizers, chain values, escape counts) ride the result
+pickle.
 
-Slot lifetime contract: stream() yields a CompactRead whose arrays VIEW the
+Slot lifetime contract: stream() yields a WireRead whose arrays VIEW the
 slot; the view is valid until the caller requests the NEXT item (the engine
 packs the arrays into its batch buffer immediately, so this is free). The
 slot is recycled on resumption.
@@ -41,8 +43,8 @@ import os
 
 import numpy as np
 
+from ..infer.wire import WireRead
 from ..signal.host_prep import (
-    CompactRead,
     _pool_init,
     _pool_prep_chunk,
     _pool_prep_one,
@@ -69,7 +71,7 @@ class PrepPool:
         slot_bases: int = DEFAULT_SLOT_BASES,
         slot_samples: int = DEFAULT_SLOT_SAMPLES,
         n_slots: int = 16,
-        chunk: int = 4,
+        chunk: int = 2,
     ):
         if n_workers is None:
             n_workers = max(1, os.cpu_count() or 1)
@@ -115,9 +117,9 @@ class PrepPool:
                         os.environ[k] = v
 
     def stream(self, base_dir: str, fns, prefetch: int = 24):
-        """Yields (fn, compact_or_None, error_str_or_None) in input order.
+        """Yields (fn, wire_read_or_None, error_str_or_None) in input order.
 
-        The yielded CompactRead's arrays may view a shared-memory slot that
+        The yielded WireRead's arrays may view a shared-memory slot that
         is recycled when the next item is requested — consume (pack/copy)
         each item before advancing, as StreamingReviser does.
         """
@@ -148,15 +150,28 @@ class PrepPool:
             for (fn, slot, (small, err)) in zip(chunk_fns, slots, fut.get()):
                 if err is not None:
                     prepped = None
-                elif isinstance(small, CompactRead):
+                elif isinstance(small, WireRead):
                     prepped = small        # pickle-transport fallback
                 else:
-                    n_bases, m_samples, shift, scale, bases = small
-                    csig, pos0, feats, vlen = _slot_views(
-                        self._slot_maps[slot], layout, n_bases, m_samples)
-                    prepped = CompactRead(
-                        bases=bases, csig=csig, pos0=pos0, vlen=vlen,
-                        feats=feats, shift=shift, scale=scale,
+                    (n, m, shift, scale, bases, first_val, last_val,
+                     pos0_first, pos0_last, ne, nd, nv, nc) = small
+                    v = _slot_views(
+                        self._slot_maps[slot], layout, n, m,
+                        counts=(ne, nd, nv, nc))
+                    prepped = WireRead(
+                        bases=bases, sig8=v["sig8"],
+                        sig_esc_idx=v["sig_esc_idx"],
+                        sig_esc_delta=v["sig_esc_delta"],
+                        posd=v["posd"],
+                        vlen_esc_idx=v["vlen_esc_idx"],
+                        vlen_esc_val=v["vlen_esc_val"],
+                        dur_esc_idx=v["dur_esc_idx"],
+                        dur_esc_f32=v["dur_esc_f32"],
+                        col_esc_idx=v["col_esc_idx"],
+                        codes=v["codes"], evf=v["evf"],
+                        first_val=first_val, last_val=last_val,
+                        pos0_first=pos0_first, pos0_last=pos0_last,
+                        shift=shift, scale=scale,
                     )
                 yield fn, prepped, err
                 if slot >= 0:

@@ -7,21 +7,23 @@ binding constraint, NOT the chip) and of the chip (fused dual-model kernel
 
   host worker(s):   fast5 decode + per-read COMPACTION (signal/host_prep:
                     window-interval union of the raw int16 signal, exact f64
-                    event moments, f16 feature rows) on worker processes
+                    event moments, f16 feature rows) + WIRE ENCODE
+                    (infer.wire: zig-zag signal deltas, pos deltas, escape
+                    lists — C++ fast path) on worker processes
                     (infer.hostpipe) or the caller's threads
-  batch assembly:   MANY reads concatenated into ONE fixed-shape buffer —
-                    reversed compacted signal + one packed int32 gather-meta
-                    row per 128-row block + per-read normalizer tables +
-                    f16 features (~40 B/base vs 121 B/base when windows were
+  batch assembly:   MANY reads concatenated into ONE fixed-shape wire buffer
+                    (~22 B/base vs ~50 in round 4 and 121 when windows were
                     host-gathered; the upload is what the 26-66 MB/s tunnel
                     actually moves, so bytes/base is the headline number)
   upload:           one contiguous h2d per batch (async)
-  device (1 jit):   ops.window_gather Pallas kernel (reversed-Toeplitz roll
-                    + exact one-hot MXU gather + fused normalize/mask;
-                    bit-identical to the old host-gather path) -> fused
-                    dual-model Pallas kernel (ops/reviser_kernel
-                    .stack_logits_full) -> packed uint8 labels (y1*8+y2)
-                    [+ phred qualities]
+  device (1 jit):   infer.wire.decode_wire (XLA: scatter+cumsum exact signal
+                    reconstruction, block-meta math, f16-table feature
+                    derivation) -> ops.window_gather Pallas kernel
+                    (reversed-Toeplitz roll + exact one-hot MXU gather +
+                    fused normalize/mask; bit-identical to the old
+                    host-gather path) -> fused dual-model Pallas kernel
+                    (ops/reviser_kernel.stack_logits_full) -> packed uint8
+                    labels (y1*8+y2) [+ phred qualities]
   download:         one async d2h per batch on a fetch thread (~25 ms RTT is
                     amortized over the whole batch and overlaps compute)
   host:             vectorized per-read revision merge + fasta/fastq write
@@ -62,18 +64,24 @@ from ..ops.window_gather import (
     ALIGN,
     DMA_LEN,
     R_CAP,
-    pack_block_meta,
     pack_read_tables,
     window_gather_tpu,
     window_gather_xla_f32,
 )
 from ..ops.window_gather import BLK as GBLK
-from ..ops.window_gather import META_ROWS
 from ..signal.host_prep import CompactRead, compact_read
 from .merge import (
     calibrate_center_offset,
     merge_revision,
     merge_revision_with_quality,
+)
+from .wire import (
+    DROP,
+    MAX_ROW_DELTA,
+    WireRead,
+    decode_wire,
+    encode_read,
+    pack_codes2,
 )
 
 DEFAULT_BLOCK = 256
@@ -86,6 +94,8 @@ DEFAULT_BATCH_WINDOWS = 196608      # windows per device batch (~20 reads).
 DEFAULT_R_MAX = 144                 # max reads per batch
 SAMPLES_PER_ROW = 12                # signal budget per base row (avg ~9.9)
 SIG_HEAD = 64                       # slack before the first read's signal
+VE_CAP = 4096                       # vlen-escape rows per batch (~5/read)
+CE_CAP = 1024                       # non-ACGT color-escape rows per batch
 
 
 def _enable_compile_cache():
@@ -113,7 +123,9 @@ class _Tier:
     w_max: int          # windows
     n_rows: int         # base rows the model consumes (w_max + window)
     n_rows_g: int       # gather rows (n_rows rounded up to the gather block)
-    s_cap: int          # int16 signal samples in the (reversed) buffer
+    s_cap: int          # signal samples in the (u8 delta-coded) buffer
+    e_cap: int          # signal-escape entries (~1% of samples; avg 0.86%)
+    de_cap: int         # duration-escape rows (~3%/row cap; avg ~1%)
 
 
 @dataclass
@@ -124,6 +136,12 @@ class _Batch:
     scales: list = field(default_factory=list)   # read_id order
     rows: int = 0
     sig_used: int = SIG_HEAD                   # cursor in FORWARD sample space
+    nse: int = 0                               # signal-escape entries used
+    nve: int = 0                               # vlen-escape entries used
+    nde: int = 0                               # duration-escape entries used
+    nce: int = 0                               # color-escape entries used
+    prev_last_val: int = 0                     # last signal value (delta chain)
+    last_pos: int = 0                          # abs pos0 of the last row added
 
 
 @dataclass
@@ -249,7 +267,14 @@ class StreamingReviser:
         n_rows_g = _round_up(n_rows, GBLK)
         s_cap = _round_up(
             n_rows_g * SAMPLES_PER_ROW + DMA_LEN + SIG_HEAD + 64, ALIGN)
-        return _Tier(w_max=w, n_rows=n_rows, n_rows_g=n_rows_g, s_cap=s_cap)
+        # escape capacities: fleet-average rates are ~0.9% of samples /
+        # ~1% of rows, but a SINGLE stall-heavy read can run ~5% duration
+        # escapes (unitest read ch13_read2251: 4.8%) — the floors keep one
+        # skewed read admissible even in the smallest tier, where the extra
+        # bytes are immaterial
+        return _Tier(w_max=w, n_rows=n_rows, n_rows_g=n_rows_g, s_cap=s_cap,
+                     e_cap=max(s_cap // 96, 8192),
+                     de_cap=max(n_rows_g // 32, 4096))
 
     # ----------------------------------------------------------- device side
 
@@ -294,10 +319,14 @@ class StreamingReviser:
 
     def _device_fn(self, ws, v, tier: _Tier):
         t = self.window
-        feats_f32 = v["feats"].astype(jnp.float32)
+        # wire decode (pure XLA, fused into this jit): u8 delta stream ->
+        # reversed int16 signal, u8 pos deltas -> block meta, f16 tables ->
+        # the 2 derived feature columns (infer.wire)
+        sigr, csr, rr, meta, feats_f32 = decode_wire(
+            v, s_cap=tier.s_cap, n_rows=tier.n_rows, n_rows_g=tier.n_rows_g)
         if self._use_pallas:
             sig_nb = window_gather_tpu(
-                v["sigr"], v["csr"], v["rr"], v["nv"], v["meta"], v["tabs"],
+                sigr, csr, rr, v["nv"], meta, v["tabs"],
                 n_rows=tier.n_rows_g,
             )[: tier.n_rows]
             feats_nb = jnp.pad(
@@ -318,7 +347,7 @@ class StreamingReviser:
             from ..models.fused import lstm_stack_apply, signal_branch_apply
 
             windows = window_gather_xla_f32(
-                v["sigr"], v["csr"], v["rr"], v["nv"], v["meta"], v["tabs"],
+                sigr, csr, rr, v["nv"], meta, v["tabs"],
                 n_rows=tier.n_rows_g,
             )[: tier.n_rows]
             feats = feats_f32
@@ -356,62 +385,107 @@ class StreamingReviser:
         """Host packing arrays, allocated at the TOP tier (submit slices)."""
         top = self.top
         return _Batch(arrays={
-            "sigr": np.zeros(top.s_cap, np.int16),
-            "pos0": np.zeros(top.n_rows_g, np.int32),
-            "read_id": np.zeros(top.n_rows_g, np.uint8),
-            "vlen": np.zeros(top.n_rows_g, np.uint8),
-            "feats": np.zeros((top.n_rows, 6), np.float16),
+            "sig8": np.zeros(top.s_cap, np.uint8),
+            "sig_esc_idx": np.full(top.e_cap, DROP, np.int32),
+            "sig_esc_delta": np.zeros(top.e_cap, np.int16),
+            "posd": np.zeros(top.n_rows_g, np.uint8),
+            "vlen_esc_idx": np.full(VE_CAP, DROP, np.int32),
+            "vlen_esc_val": np.zeros(VE_CAP, np.int32),
+            "dur_esc_idx": np.full(top.de_cap, DROP, np.int32),
+            "dur_esc_f32": np.zeros(top.de_cap, np.float32),
+            "col_esc_idx": np.full(CE_CAP, DROP, np.int32),
+            "codes": np.zeros(top.n_rows_g, np.uint8),
+            "evf": np.zeros((top.n_rows, 4), np.float16),
+            "read_r0": np.full(R_CAP, DROP, np.int32),
         })
 
-    def _add_read(self, batch: _Batch, name: str, read, c: CompactRead) -> bool:
-        """Try to append a compacted read to the batch; False if it won't fit.
+    def _add_read(self, batch: _Batch, name: str, read, w: WireRead) -> bool:
+        """Try to append a wire-encoded read to the batch; False if it won't
+        fit (rows, signal, read-table, or any escape budget).
 
-        ``read`` is the caller's original object (ReadData or CompactRead),
-        carried through to the output tuples; ``c`` holds the packed arrays.
+        ``read`` is the caller's original object (ReadData, CompactRead or
+        WireRead), carried through to the output tuples; ``w`` holds the
+        encoded arrays.
         """
-        n = c.n_bases
-        m = c.n_samples
+        n = w.n_bases
+        m = w.n_samples
         top = self.top
         sig_limit = top.s_cap - DMA_LEN - 64
         if (batch.rows + n > top.n_rows
                 or batch.sig_used + m > sig_limit
-                or len(batch.meta) >= self.r_max):
+                or len(batch.meta) >= self.r_max
+                or batch.nse + len(w.sig_esc_idx) + 1 > top.e_cap
+                or batch.nde + len(w.dur_esc_idx) > top.de_cap
+                or batch.nve + len(w.vlen_esc_idx) > VE_CAP
+                or batch.nce + len(w.col_esc_idx) > CE_CAP):
             return False
         vw = batch.arrays
         r0 = batch.rows
         g = batch.sig_used
-        # reversed placement: forward sample p lives at sigr[s_cap - 1 - p]
-        vw["sigr"][top.s_cap - (g + m) : top.s_cap - g] = c.csig[::-1]
-        vw["pos0"][r0 : r0 + n] = g + c.pos0
-        vw["read_id"][r0 : r0 + n] = len(batch.meta)
-        vw["vlen"][r0 : r0 + n] = c.vlen
-        vw["feats"][r0 : r0 + n] = c.feats
-        batch.shifts.append(c.shift)
-        batch.scales.append(c.scale)
+        # the first row's pos0 delta chains from the previous read's last row
+        # (or from 0 at the head); <= SIG_HEAD resp. <= 75 by construction
+        # (see infer.wire's span proof) — a violation degrades just this read
+        row_delta = (g + w.pos0_first) - (batch.last_pos if r0 else 0)
+        if not 0 <= row_delta <= MAX_ROW_DELTA:
+            raise ValueError(
+                f"read-boundary pos0 delta {row_delta} outside "
+                f"[0, {MAX_ROW_DELTA}] (pathological segmentation)")
+        # forward placement: sample p of the batch lives at sig8[p]
+        vw["sig8"][g : g + m] = w.sig8
+        e0 = batch.nse
+        ne = len(w.sig_esc_idx)
+        vw["sig_esc_idx"][e0] = g                   # chained first delta
+        vw["sig_esc_delta"][e0] = w.first_val - batch.prev_last_val
+        vw["sig_esc_idx"][e0 + 1 : e0 + 1 + ne] = g + w.sig_esc_idx
+        vw["sig_esc_delta"][e0 + 1 : e0 + 1 + ne] = w.sig_esc_delta
+        batch.nse = e0 + 1 + ne
+        vw["posd"][r0] = row_delta
+        vw["posd"][r0 + 1 : r0 + n] = w.posd[1:]
+        nv_ = len(w.vlen_esc_idx)
+        vw["vlen_esc_idx"][batch.nve : batch.nve + nv_] = r0 + w.vlen_esc_idx
+        vw["vlen_esc_val"][batch.nve : batch.nve + nv_] = w.vlen_esc_val
+        batch.nve += nv_
+        nd = len(w.dur_esc_idx)
+        vw["dur_esc_idx"][batch.nde : batch.nde + nd] = r0 + w.dur_esc_idx
+        vw["dur_esc_f32"][batch.nde : batch.nde + nd] = w.dur_esc_f32
+        batch.nde += nd
+        nc = len(w.col_esc_idx)
+        vw["col_esc_idx"][batch.nce : batch.nce + nc] = r0 + w.col_esc_idx
+        batch.nce += nc
+        vw["codes"][r0 : r0 + n] = w.codes
+        vw["evf"][r0 : r0 + n] = w.evf
+        vw["read_r0"][len(batch.meta)] = r0
+        batch.shifts.append(w.shift)
+        batch.scales.append(w.scale)
         batch.meta.append((name, read, r0))
         batch.rows = r0 + n
         batch.sig_used = g + m
+        batch.prev_last_val = w.last_val
+        batch.last_pos = g + w.pos0_last
         return True
 
     def _pick_tier(self, batches: list[_Batch]) -> _Tier:
         rows = max(b.rows for b in batches)
         sig = max(b.sig_used for b in batches)
+        nse = max(b.nse for b in batches)
+        nde = max(b.nde for b in batches)
         for tier in self.tiers:
-            if rows <= tier.n_rows and sig <= tier.s_cap - DMA_LEN - 64:
+            if (rows <= tier.n_rows and sig <= tier.s_cap - DMA_LEN - 64
+                    and nse <= tier.e_cap and nde <= tier.de_cap):
                 return tier
         return self.top
 
     def _finalize(self, batch: _Batch, tier: _Tier) -> dict:
-        """Pack one batch's host arrays into tier-shaped upload arrays."""
+        """Slice one batch's host arrays into tier-shaped upload arrays.
+
+        Pad rows need no special handling: their posd is 0, so the decoded
+        pos0 repeats the last real row (keeping pad blocks' DMA span sane),
+        and their vlen defaults to 50 / read_id to the last read — those rows
+        feed only windows past w_valid, which the kernel skips or the host
+        never reads.
+        """
         vw = batch.arrays
         rows = batch.rows
-        n_g = tier.n_rows_g
-        pos0 = vw["pos0"][:n_g]
-        if rows:
-            pos0[rows:] = pos0[rows - 1]    # keep pad blocks' span sane
-        csr, rr, meta = pack_block_meta(
-            pos0, vw["vlen"][:n_g], vw["read_id"][:n_g], tier.s_cap,
-        )
         tabs = pack_read_tables(batch.shifts, batch.scales)
         w_needed = max(rows - self.window, 0)
         w_valid = min(-(-w_needed // self.block) * self.block, tier.w_max)
@@ -420,12 +494,19 @@ class StreamingReviser:
         else:
             nv = 0
         return {
-            "sigr": vw["sigr"][self.top.s_cap - tier.s_cap :],
-            "meta": meta,
+            "sig8": vw["sig8"][: tier.s_cap],
+            "sig_esc_idx": vw["sig_esc_idx"][: tier.e_cap],
+            "sig_esc_delta": vw["sig_esc_delta"][: tier.e_cap],
+            "posd": vw["posd"][: tier.n_rows_g],
+            "vlen_esc_idx": vw["vlen_esc_idx"],
+            "vlen_esc_val": vw["vlen_esc_val"],
+            "dur_esc_idx": vw["dur_esc_idx"][: tier.de_cap],
+            "dur_esc_f32": vw["dur_esc_f32"][: tier.de_cap],
+            "col_esc_idx": vw["col_esc_idx"],
+            "codes2": pack_codes2(vw["codes"][: tier.n_rows_g]),
+            "evf": vw["evf"][: tier.n_rows],
+            "read_r0": vw["read_r0"],
             "tabs": tabs,
-            "feats": vw["feats"][: tier.n_rows],
-            "csr": csr,
-            "rr": rr,
             "nv": np.array([nv], np.int32),
             "wvalid": np.array([w_valid], np.int32),
         }
@@ -538,11 +619,11 @@ class StreamingReviser:
 
     def revise_stream(self, items, errors: list | None = None,
                       emit: str = "seq"):
-        """items: iterable of (fast5_name, ReadData | CompactRead).
+        """items: iterable of (fast5_name, ReadData | CompactRead | WireRead).
 
-        CompactRead items (from infer.hostpipe worker processes) are packed
-        directly; ReadData items are compacted inline (signal.host_prep) on
-        the calling thread.
+        WireRead items (from infer.hostpipe worker processes) are packed
+        directly; CompactRead / ReadData items are wire-encoded (and, for
+        ReadData, compacted first) inline on the calling thread.
 
         Yields (name, read, revised_seq, qual_or_None) in input order
         (deterministic caveats: degraded reads are emitted at input time,
@@ -611,18 +692,6 @@ class StreamingReviser:
                 isinstance(read, ReadData)
                 and read.read_start_rel_to_raw >= len(read.signal)
             )
-            prepped = None
-            if not bad:
-                try:
-                    prepped = (
-                        read if isinstance(read, CompactRead)
-                        else compact_read(read)
-                    )
-                except Exception as exc:  # noqa: BLE001 — per-read degradation
-                    if errors is not None:
-                        errors.append((name, exc))
-                    yield (name, read) + fallback(read)
-                    continue
             if bad:
                 exc = ValueError(
                     f"read has too few bases ({read.n_bases}) or no signal"
@@ -631,18 +700,34 @@ class StreamingReviser:
                     errors.append((name, exc))
                 yield (name, read) + fallback(read)
                 continue
-            if not self._add_read(batch, name, read, prepped):
-                flush()
-                if not self._add_read(batch, name, read, prepped):
-                    # single read exceeds the batch budget — degrade
-                    exc = ValueError(
+            try:
+                if isinstance(read, WireRead):
+                    prepped = read
+                elif isinstance(read, CompactRead):
+                    prepped = encode_read(read)
+                else:
+                    prepped = encode_read(compact_read(read))
+            except Exception as exc:  # noqa: BLE001 — per-read degradation
+                if errors is not None:
+                    errors.append((name, exc))
+                yield (name, read) + fallback(read)
+                continue
+            try:
+                added = self._add_read(batch, name, read, prepped)
+                if not added:
+                    flush()
+                    added = self._add_read(batch, name, read, prepped)
+                if not added:
+                    # single read exceeds the batch budget
+                    raise ValueError(
                         f"read too large for batch: {read.n_bases} bases / "
                         f"{prepped.n_samples} samples"
                     )
-                    if errors is not None:
-                        errors.append((name, exc))
-                    yield (name, read) + fallback(read)
-                    continue
+            except Exception as exc:  # noqa: BLE001 — per-read degradation
+                if errors is not None:
+                    errors.append((name, exc))
+                yield (name, read) + fallback(read)
+                continue
             if len(pending) > self.max_in_flight:
                 yield from drain(pending.popleft())
         flush(force=True)

@@ -1,0 +1,270 @@
+"""Wire format v2: the compacted-read upload, byte-packed for the tunnel.
+
+The TPU attachment's h2d link (26-66 MB/s measured) is the pipeline's
+binding ceiling, so bytes/base IS the throughput headline. Round 4 uploaded
+~50 B/base (int16 compacted signal + 6 f16 feature columns + int32 block
+meta); this format cuts it to ~22 B/base with three stacked, individually
+bit-exact encodings, all decoded ON DEVICE in plain XLA before the (unchanged)
+Pallas window-gather kernel:
+
+* **signal**: 8-bit zig-zag deltas of the compacted int16 signal (adjacent
+  nanopore samples differ by < 128 for 99.1 % of samples — measured on the
+  training set) with an escape table (index, int32 delta) for the rest;
+  decode = scatter + integer cumsum, exact by construction. ~20.4 -> ~10.7
+  B/base.
+* **features**: only the 4 underivable f16 columns ship (ev_mean/shift,
+  ev_std/scale, ab_mean, ab_std). Base color is derived from 2-bit base
+  codes via a 4-entry f16 table; duration comes from the pos0 deltas via a
+  256-entry f16 table (host-precomputed with the same f64->f16 single
+  rounding as signal/host_prep), with an escape list for rows where the
+  compacted delta differs from the true duration (stall boundaries, clamped
+  edges, each read's last row — ~1 % of rows). 12 -> ~8.4 B/base.
+* **block meta**: pos0 ships as u8 row deltas (compaction bounds in-read
+  deltas at <= 50; read-boundary deltas, written at batch assembly, are
+  <= 75 by construction) and is rebuilt by cumsum; vlen defaults to 50 with
+  an escape list (~5 rows/read); read_id is derived from the per-read row
+  offsets by searchsorted. The whole pack_block_meta computation (window
+  span/alignment math) moves into XLA. 4 -> ~1.1 B/base.
+
+Span safety is proven, not checked, on device: worker-side validation
+rejects any read whose in-read pos0 deltas leave [0, 50] (per-read
+degradation — round-4 advisor finding), boundary deltas are <= 75
+(vlen + left pad + head slack bounds), so a 128-row block spans at most
+127 * (75+50)/2 < 8000 < CHUNK - QP - 1 samples.
+
+Reference behavior reproduced: the upload replaces the per-read copy of
+NanoReviser.py:111-113; feature semantics are preprocessing.py:85-170 /
+nanorevtrainutils.py:160-169 exactly (bit-exact with signal/host_prep —
+tests/test_wire.py).
+
+This module's top level imports numpy only: hostpipe spawn workers import it
+for encode, and must never pull in jax (whose TPU client cannot exist in two
+processes). decode_wire imports jax lazily at trace time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..signal.host_prep import CompactRead
+
+# NOTE: ops.window_gather (whose ALIGN/BLK/CHUNK/DMA_LEN/R_CAP this module's
+# decode needs) imports jax at module scope — decode_wire imports it lazily
+# so that hostpipe spawn workers importing this module for encode_read never
+# pull in jax.
+
+ESC = 255                    # u8 escape marker (signal stream)
+DROP = np.int32(2**30)       # scatter sentinel: always out of range -> dropped
+MAX_IN_READ_POS_DELTA = 50   # guaranteed by compaction; validated per read
+MAX_ROW_DELTA = 254          # u8-encodable pos0 row delta (boundary rows)
+
+# exact f64 -> f16 single-rounding tables, shared by the host escape checker
+# and the device decode (so no on-device f32 rounding can diverge from the
+# host_prep features): duration feature = f16(f64(d) * 0.1), d in [0, 255];
+# color feature = f16(BASE_COLOR_TABLE[base] * (1/300)) for code order AGTC
+DUR_TABLE_F16 = (np.arange(256, dtype=np.float64) * 0.1).astype(np.float16)
+_CODE_BASES = b"AGTC"
+COLOR_TABLE_F16 = (
+    np.array([250.0, 180.0, 100.0, 30.0], np.float64) * (1.0 / 300.0)
+).astype(np.float16)
+CODE_OF_BASE = np.zeros(256, np.uint8)
+for _i, _b in enumerate(_CODE_BASES):
+    CODE_OF_BASE[_b] = _i
+_IS_ACGT = np.zeros(256, bool)
+for _b in b"ACGT":
+    _IS_ACGT[_b] = True
+
+
+class WireEncodeError(ValueError):
+    """Read violates a wire-format invariant (caller degrades the read)."""
+
+
+@dataclass
+class WireRead:
+    """One read, encoded for the batch upload. Arrays may view shm slots."""
+
+    bases: str
+    sig8: np.ndarray           # [M] u8 zig-zag deltas; [0] is ESC (the first
+                               #     sample's delta is chained at assembly)
+    sig_esc_idx: np.ndarray    # [K] int32 local sample index (excludes 0)
+    sig_esc_delta: np.ndarray  # [K] int16 true delta
+    posd: np.ndarray           # [N] u8 pos0 row deltas; [0] is a placeholder
+    vlen_esc_idx: np.ndarray   # [Kv] int32 local row (vlen != 50)
+    vlen_esc_val: np.ndarray   # [Kv] int32
+    dur_esc_idx: np.ndarray    # [Kd] int32 local row
+    dur_esc_f32: np.ndarray    # [Kd] f32 (exact widening of the f16 feature)
+    col_esc_idx: np.ndarray    # [Kc] int32 local row (non-ACGT base -> 0.0)
+    codes: np.ndarray          # [N] u8 2-bit base code (packed 4/byte later)
+    evf: np.ndarray            # [N, 4] f16: ev_mean/shift, ev_std/scale,
+                               #             ab_mean, ab_std
+    first_val: int             # csig[0] (assembly chains the first delta)
+    last_val: int              # csig[-1] (next read chains against it)
+    pos0_first: int            # c.pos0[0] (assembly writes posd[r0])
+    pos0_last: int             # c.pos0[-1]
+    shift: float
+    scale: float
+
+    @property
+    def n_bases(self) -> int:
+        return len(self.posd)
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.sig8)
+
+
+def encode_read(c: CompactRead, out: tuple | None = None) -> WireRead:
+    """CompactRead -> WireRead (vectorized numpy; ~0.2 ms/read).
+
+    ``out``: optional (sig8, posd, evf, codes) arrays to fill in place
+    (hostpipe shm slots); escape arrays are always freshly allocated (they
+    are tiny and variable-length).
+    """
+    csig = c.csig
+    pos0 = c.pos0.astype(np.int64)
+    n = c.n_bases
+    m = c.n_samples
+    if out is not None:
+        sig8 = out[0][:m]
+        posd = out[1][:n]
+        evf = out[2][:n]
+        codes = out[3][:n]
+    else:
+        sig8 = np.empty(m, np.uint8)
+        posd = np.empty(n, np.uint8)
+        evf = np.empty((n, 4), np.float16)
+        codes = np.empty(n, np.uint8)
+
+    # --- signal: zig-zag deltas with escapes -------------------------------
+    d = np.diff(csig.astype(np.int32))
+    z = (d << 1) ^ (d >> 31)
+    esc = z >= ESC
+    sig8[0] = ESC
+    np.copyto(sig8[1:], np.where(esc, ESC, z).astype(np.uint8))
+    sig_esc_idx = (np.flatnonzero(esc) + 1).astype(np.int32)
+    esc_d = d[sig_esc_idx - 1]
+    if esc_d.size and np.abs(esc_d).max() > 32767:
+        raise WireEncodeError("signal delta exceeds int16 escape range")
+    sig_esc_delta = esc_d.astype(np.int16)
+
+    # --- pos0 row deltas ---------------------------------------------------
+    pd = np.diff(pos0)
+    if pd.size and (pd.min() < 0 or pd.max() > MAX_IN_READ_POS_DELTA):
+        raise WireEncodeError(
+            f"pos0 delta outside [0, {MAX_IN_READ_POS_DELTA}] "
+            f"(pathological segmentation; span budget unprovable)")
+    posd[0] = 0
+    np.copyto(posd[1:], pd.astype(np.uint8))
+
+    # --- vlen escapes ------------------------------------------------------
+    vmask = c.vlen != 50
+    vlen_esc_idx = np.flatnonzero(vmask).astype(np.int32)
+    vlen_esc_val = c.vlen[vmask].astype(np.int32)
+
+    # --- features ----------------------------------------------------------
+    bcodes = np.frombuffer(c.bases.encode("ascii"), np.uint8)
+    np.copyto(codes, CODE_OF_BASE[bcodes])
+    col_esc_idx = np.flatnonzero(~_IS_ACGT[bcodes]).astype(np.int32)
+    np.copyto(evf, c.feats[:, [1, 2, 4, 5]])
+    true_dur = c.feats[:, 3]
+    derived = DUR_TABLE_F16[np.clip(pd, 0, 255)]
+    mism = np.flatnonzero(derived != true_dur[:-1])
+    dur_esc_idx = np.concatenate([mism, [n - 1]]).astype(np.int32)
+    dur_esc_f32 = true_dur[dur_esc_idx].astype(np.float32)
+
+    return WireRead(
+        bases=c.bases, sig8=sig8,
+        sig_esc_idx=sig_esc_idx, sig_esc_delta=sig_esc_delta,
+        posd=posd, vlen_esc_idx=vlen_esc_idx, vlen_esc_val=vlen_esc_val,
+        dur_esc_idx=dur_esc_idx, dur_esc_f32=dur_esc_f32,
+        col_esc_idx=col_esc_idx, codes=codes, evf=evf,
+        first_val=int(csig[0]), last_val=int(csig[-1]),
+        pos0_first=int(pos0[0]), pos0_last=int(pos0[-1]),
+        shift=c.shift, scale=c.scale,
+    )
+
+
+def pack_codes2(codes: np.ndarray) -> np.ndarray:
+    """u8 per-row 2-bit codes -> 4-per-byte packed u8 (len must be %4)."""
+    c = codes.reshape(-1, 4).astype(np.uint16)
+    return (c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)).astype(
+        np.uint8)
+
+
+def decode_wire(v: dict, *, s_cap: int, n_rows: int, n_rows_g: int):
+    """Device-side decode (pure XLA, traced under the engine's jit): wire
+    buffers -> (sigr int16 [s_cap] reversed signal, csr/rr int32 [nblocks],
+    meta int32 [nblocks, 1, 128], feats f32 [n_rows, 6]).
+
+    Bit-exact with the round-4 host packing (pack_block_meta + f16 feature
+    columns): integer scatter+cumsum reconstructs the compacted signal and
+    row positions exactly; f16 table lookups widen to f32 exactly.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.window_gather import ALIGN, BLK, CHUNK, DMA_LEN, R_CAP
+
+    # signal: zig-zag decode + escape scatter + cumsum, then reverse
+    z = v["sig8"].astype(jnp.int32)
+    d = (z >> 1) ^ -(z & 1)
+    d = jnp.where(z == ESC, 0, d)
+    d = d.at[v["sig_esc_idx"]].set(
+        v["sig_esc_delta"].astype(jnp.int32), mode="drop")
+    fwd = jnp.cumsum(d).astype(jnp.int16)
+    sigr = fwd[::-1]
+
+    # row positions + block meta (the pack_block_meta math, in XLA)
+    pos0 = jnp.cumsum(v["posd"].astype(jnp.int32))
+    vlen = jnp.full((n_rows_g,), 50, jnp.int32).at[v["vlen_esc_idx"]].set(
+        v["vlen_esc_val"], mode="drop")
+    rows_iota = jnp.arange(n_rows_g, dtype=jnp.int32)
+    # read_id[row] = #reads whose first row is <= row, minus 1. A
+    # rank-via-comparison reduction: jnp.searchsorted lowers to a serial
+    # binary-search loop on TPU (measured 13.7 ms for 197k rows); this
+    # [rows, R_CAP] compare+sum fuses into ~0.3 ms. Pad lanes hold DROP
+    # (never <= any row).
+    read_id = jnp.sum(
+        rows_iota[:, None] >= v["read_r0"][None, :],
+        axis=1, dtype=jnp.int32) - 1
+    read_id = jnp.clip(read_id, 0, R_CAP - 1)
+    nblocks = n_rows_g // BLK
+    p = pos0.reshape(nblocks, BLK)
+    fine = p.min(axis=1)
+    cs = fine & ~(ALIGN - 1)
+    csr = (s_cap - cs - DMA_LEN).astype(jnp.int32)
+    rr = (CHUNK + (fine - cs)).astype(jnp.int32)
+    relr = (CHUNK - 1) - (p - fine[:, None])
+    meta = (
+        relr
+        | (vlen.reshape(nblocks, BLK) << 13)
+        | (read_id.reshape(nblocks, BLK) << 19)
+    )[:, None, :]
+
+    # features: color/duration derived via exact f16 tables + escapes.
+    # Table lookups are branch-free selects / compare-sums, NOT jnp.take:
+    # small-table gathers over 197k rows are slow on TPU.
+    c2 = v["codes2"].astype(jnp.int32)
+    codes = jnp.stack(
+        [c2 & 3, (c2 >> 2) & 3, (c2 >> 4) & 3, (c2 >> 6) & 3], axis=1
+    ).reshape(-1)[:n_rows]
+    ctab = COLOR_TABLE_F16.astype(np.float32)   # exact f16 -> f32 widening
+    color = jnp.where(
+        codes < 2,
+        jnp.where(codes == 0, ctab[0], ctab[1]),
+        jnp.where(codes == 2, ctab[2], ctab[3]),
+    )
+    color = color.at[v["col_esc_idx"]].set(0.0, mode="drop")
+    pos0_ext = jnp.concatenate([pos0, pos0[-1:]])
+    dnext = jnp.clip(pos0_ext[1 : n_rows + 1] - pos0_ext[:n_rows], 0, 255)
+    dtab = jnp.asarray(DUR_TABLE_F16.astype(np.float32))
+    dur = jnp.sum(
+        jnp.where(dnext[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :],
+                  dtab[None, :], 0.0),
+        axis=1)
+    dur = dur.at[v["dur_esc_idx"]].set(v["dur_esc_f32"], mode="drop")
+    evf = v["evf"].astype(jnp.float32)
+    feats = jnp.stack(
+        [color, evf[:, 0], evf[:, 1], dur, evf[:, 2], evf[:, 3]], axis=1)
+    return sigr, csr, rr, meta, feats

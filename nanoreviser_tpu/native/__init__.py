@@ -28,7 +28,7 @@ _LIB = None
 _TRIED = False
 _HDF5_OK: bool | None = None
 
-ABI_VERSION = 4
+ABI_VERSION = 5
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 LIB_PATH = os.path.join(_PKG_DIR, "libnanorev.so")
@@ -88,6 +88,20 @@ def _load():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_void_p, ctypes.c_int64,      # csig_out, cap
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # pos0, vlen, feats
+        ]
+        lib.nr_encode_wire.restype = ctypes.c_int64
+        lib.nr_encode_wire.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,      # csig, m
+            ctypes.c_void_p, ctypes.c_void_p,     # pos0, vlen
+            ctypes.c_void_p, ctypes.c_void_p,     # feats, bases
+            ctypes.c_int64,                       # n
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # sig8, eidx, edel
+            ctypes.c_int64,                       # esc_cap
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # posd, evf, codes
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # dur esc
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # vlen esc
+            ctypes.c_void_p, ctypes.c_int64,                    # col esc
+            ctypes.c_void_p,                                    # counts_out
         ]
         lib.nr_hdf5_init.restype = ctypes.c_int
         lib.nr_hdf5_init.argtypes = [ctypes.c_char_p]
@@ -332,3 +346,40 @@ def fast5_compact_native(
         csig[:m], pos0[:n], vlen[:n], feats[:n],
         float(shift.value), float(scale.value),
     )
+
+
+def encode_wire_native(c, out: dict, ascii_bases: np.ndarray | None = None):
+    """Wire-encode a CompactRead into caller arrays (nr_encode_wire; exact
+    parity with infer.wire.encode_read asserted in tests/test_native.py).
+
+    ``out``: dict with sig8/posd/evf/codes views sized >= the read plus
+    sig_esc_idx/sig_esc_delta/dur_esc_idx/dur_esc_f32/vlen_esc_idx/
+    vlen_esc_val/col_esc_idx capacity arrays. Returns (ne, nd, nv, nc)
+    escape counts. Raises RuntimeError on capacity overflow or invariant
+    violations (caller falls back to the numpy encoder which raises the
+    user-facing WireEncodeError)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    n, m = c.n_bases, c.n_samples
+    if ascii_bases is None:
+        ascii_bases = np.frombuffer(c.bases.encode("ascii"), np.uint8)
+    counts = np.zeros(4, np.int64)
+    rc = lib.nr_encode_wire(
+        c.csig.ctypes.data, m,
+        c.pos0.ctypes.data, c.vlen.ctypes.data,
+        c.feats.ctypes.data, ascii_bases.ctypes.data, n,
+        out["sig8"].ctypes.data, out["sig_esc_idx"].ctypes.data,
+        out["sig_esc_delta"].ctypes.data, len(out["sig_esc_idx"]),
+        out["posd"].ctypes.data, out["evf"].ctypes.data,
+        out["codes"].ctypes.data,
+        out["dur_esc_idx"].ctypes.data, out["dur_esc_f32"].ctypes.data,
+        len(out["dur_esc_idx"]),
+        out["vlen_esc_idx"].ctypes.data, out["vlen_esc_val"].ctypes.data,
+        len(out["vlen_esc_idx"]),
+        out["col_esc_idx"].ctypes.data, len(out["col_esc_idx"]),
+        counts.ctypes.data,
+    )
+    if rc != 0:
+        raise RuntimeError(f"nr_encode_wire failed (rc={rc})")
+    return int(counts[0]), int(counts[1]), int(counts[2]), int(counts[3])

@@ -398,7 +398,7 @@ int64_t nr_compact_read(
                       csig_out, csig_cap, pos0_out, vlen_out, feats_out);
 }
 
-int nr_abi_version() { return 4; }
+int nr_abi_version() { return 5; }
 
 }  // extern "C"
 
@@ -789,3 +789,100 @@ int64_t nr_fast5_compact(
 
 }  // extern "C"
 
+
+extern "C" {
+
+// Wire-encode a compacted read (infer/wire.py encode_read semantics,
+// bit-exact — parity asserted in tests/test_native.py):
+//   sig8      : zig-zag deltas, 255 = escape; sig8[0] always 255
+//   posd      : pos0 row deltas (posd[0] = 0 placeholder)
+//   evf       : f16 bits of feats columns [1,2,4,5]
+//   codes     : 2-bit base code (A=0,G=1,T=2,C=3; else 0 + color escape)
+//   dur esc   : rows where DUR_TABLE[pos delta] != feats[:,3] plus the
+//               last row (whose device-derived delta is the next read's)
+// Returns 0, or: -2 escape capacity exceeded, -6 pos0 delta outside
+// [0, 50], -7 signal escape delta exceeds int16.
+int64_t nr_encode_wire(
+    const int16_t* csig, int64_t m,
+    const int32_t* pos0, const uint8_t* vlen,
+    const uint16_t* feats /* [n,6] f16 bits */, const uint8_t* bases,
+    int64_t n,
+    uint8_t* sig8, int32_t* sig_esc_idx, int16_t* sig_esc_delta,
+    int64_t esc_cap,
+    uint8_t* posd, uint16_t* evf /* [n,4] */, uint8_t* codes,
+    int32_t* dur_esc_idx, float* dur_esc_f32, int64_t dur_cap,
+    int32_t* vlen_esc_idx, int32_t* vlen_esc_val, int64_t vl_cap,
+    int32_t* col_esc_idx, int64_t col_cap,
+    int64_t* counts_out /* [4]: ne, nd, nv, nc */) {
+  if (m < 1 || n < 1) return -1;
+
+  static uint16_t dur_tab[256];
+  static bool dur_init = false;
+  if (!dur_init) {
+    for (int i = 0; i < 256; ++i) dur_tab[i] = f64_to_f16(double(i) * 0.1);
+    dur_init = true;
+  }
+  int8_t code_of[256];
+  std::memset(code_of, -1, sizeof(code_of));
+  code_of['A'] = 0; code_of['G'] = 1; code_of['T'] = 2; code_of['C'] = 3;
+
+  // signal: zig-zag deltas with escapes
+  int64_t ne = 0;
+  sig8[0] = 255;
+  for (int64_t i = 1; i < m; ++i) {
+    const int32_t d = int32_t(csig[i]) - int32_t(csig[i - 1]);
+    const uint32_t z = uint32_t((d << 1) ^ (d >> 31));
+    if (z >= 255u) {
+      if (d > 32767 || d < -32768) return -7;
+      if (ne >= esc_cap) return -2;
+      sig8[i] = 255;
+      sig_esc_idx[ne] = int32_t(i);
+      sig_esc_delta[ne] = int16_t(d);
+      ++ne;
+    } else {
+      sig8[i] = uint8_t(z);
+    }
+  }
+
+  // pos deltas + vlen/dur/col escapes + codes + evf, one pass over rows
+  int64_t nd = 0, nv = 0, nc = 0;
+  posd[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t pd = 0;
+    if (i + 1 < n) {
+      pd = pos0[i + 1] - pos0[i];
+      if (pd < 0 || pd > 50) return -6;
+      posd[i + 1] = uint8_t(pd);
+    }
+    const uint16_t* fr = feats + i * 6;
+    const bool last = (i + 1 == n);
+    if (last || dur_tab[pd] != fr[3]) {
+      if (nd >= dur_cap) return -2;
+      dur_esc_idx[nd] = int32_t(i);
+      dur_esc_f32[nd] = _cvtsh_ss(fr[3]);
+      ++nd;
+    }
+    if (vlen[i] != 50) {
+      if (nv >= vl_cap) return -2;
+      vlen_esc_idx[nv] = int32_t(i);
+      vlen_esc_val[nv] = int32_t(vlen[i]);
+      ++nv;
+    }
+    const int8_t c = code_of[bases[i]];
+    if (c < 0) {
+      if (nc >= col_cap) return -2;
+      col_esc_idx[nc] = int32_t(i);
+      ++nc;
+      codes[i] = 0;
+    } else {
+      codes[i] = uint8_t(c);
+    }
+    uint16_t* er = evf + i * 4;
+    er[0] = fr[1]; er[1] = fr[2]; er[2] = fr[4]; er[3] = fr[5];
+  }
+  counts_out[0] = ne; counts_out[1] = nd;
+  counts_out[2] = nv; counts_out[3] = nc;
+  return 0;
+}
+
+}  // extern "C"

@@ -372,11 +372,12 @@ def compact_fast5(
 # ---- multiprocessing worker entrypoints (infer.hostpipe) -------------------
 # These live HERE, not in infer.hostpipe, so that spawn workers unpickling
 # them import only numpy/h5py modules — never jax (whose TPU client must not
-# be initialized in a second process).
+# be initialized in a second process). infer.wire is numpy-only at import.
 
 _WORKER_GROUP = "Basecall_1D_000"
 _WORKER_SUBGROUP = "BaseCalled_template"
 _WORKER_SLOTS: dict = {}
+_WORKER_SCRATCH: dict = {}
 
 
 def _pool_init(group: str, subgroup: str) -> None:
@@ -385,9 +386,43 @@ def _pool_init(group: str, subgroup: str) -> None:
     _WORKER_SUBGROUP = subgroup
 
 
-def _pool_prep_one(path: str):
+def _compact_scratch(cap_bases: int, cap_samples: int) -> tuple:
+    """Per-process reusable compact-stage output arrays: without these the
+    native one-call ingest would allocate its (huge) default-capacity
+    buffers for every read."""
+    key = (cap_bases, cap_samples)
+    s = _WORKER_SCRATCH.get(key)
+    if s is None:
+        s = (
+            np.empty(cap_samples, np.int16),       # csig
+            np.empty(cap_bases, np.int32),         # pos0
+            np.empty(cap_bases, np.uint8),         # vlen
+            np.empty((cap_bases, 6), np.float16),  # feats
+        )
+        _WORKER_SCRATCH[key] = s
+    return s
+
+
+def _compact_bounded(path: str, cap_bases: int, cap_samples: int):
+    """compact_fast5 into reused scratch; falls back to unbounded buffers
+    for reads beyond the scratch capacity (then pickle-transported)."""
+    scratch = _compact_scratch(cap_bases, cap_samples)
     try:
-        return compact_fast5(path, _WORKER_GROUP, _WORKER_SUBGROUP), None
+        return compact_fast5(
+            path, _WORKER_GROUP, _WORKER_SUBGROUP,
+            out=(scratch[0], scratch[1], scratch[2], scratch[3]))
+    except Exception:  # noqa: BLE001 — capacity / native failure
+        return compact_fast5(path, _WORKER_GROUP, _WORKER_SUBGROUP)
+
+
+def _pool_prep_one(path: str, cap_bases: int = 425984,
+                   cap_samples: int = 8 * 1024 * 1024):
+    """Inline (n_workers=0) path: decode + compact + wire-encode."""
+    from ..infer.wire import encode_read
+
+    try:
+        c = _compact_bounded(path, cap_bases, cap_samples)
+        return encode_read(c), None
     except Exception as exc:  # noqa: BLE001 — per-read degradation
         return None, str(exc)
 
@@ -395,21 +430,40 @@ def _pool_prep_one(path: str):
 def slot_layout(cap_bases: int, cap_samples: int | None = None) -> dict:
     """Byte offsets of one /dev/shm prep slot (see infer.hostpipe).
 
-    Layout: compacted int16 signal | int32 pos0 | f16 feats | u8 vlen.
-    ``cap_samples`` defaults to the worst legal compaction (50/base)."""
+    v2 layout carries the WIRE-encoded read (infer.wire): u8 signal delta
+    stream | u8 pos deltas | f16 evf[.,4] | u8 codes | signal/dur/vlen/col
+    escape arrays. ``cap_samples`` defaults to the worst legal compaction
+    (50/base)."""
     if cap_samples is None:
         cap_samples = QUERY_LEN * cap_bases
-    csig_bytes = 2 * cap_samples
-    pos_bytes = 4 * cap_bases
-    feats_bytes = 2 * 6 * cap_bases
-    return {
-        "csig": 0,
-        "pos0": csig_bytes,
-        "feats": csig_bytes + pos_bytes,
-        "vlen": csig_bytes + pos_bytes + feats_bytes,
-        "total": csig_bytes + pos_bytes + feats_bytes + cap_bases,
-        "cap_samples": cap_samples,
-    }
+    esc_cap = cap_samples // 64          # 1.56% of samples (avg 0.86%)
+    dur_cap = cap_bases // 16
+    vl_cap = 4096
+    col_cap = 4096
+    off = {}
+    pos = 0
+    for name, nbytes in (
+        ("sig8", cap_samples),
+        ("posd", cap_bases),
+        ("evf", 2 * 4 * cap_bases),
+        ("codes", cap_bases),
+        ("sig_esc_idx", 4 * esc_cap),
+        ("sig_esc_delta", 2 * esc_cap),
+        ("dur_esc_idx", 4 * dur_cap),
+        ("dur_esc_f32", 4 * dur_cap),
+        ("vlen_esc_idx", 4 * vl_cap),
+        ("vlen_esc_val", 4 * vl_cap),
+        ("col_esc_idx", 4 * col_cap),
+    ):
+        off[name] = pos
+        pos += nbytes
+    off["total"] = pos
+    off["cap_samples"] = cap_samples
+    off["esc_cap"] = esc_cap
+    off["dur_cap"] = dur_cap
+    off["vl_cap"] = vl_cap
+    off["col_cap"] = col_cap
+    return off
 
 
 def _worker_slot(slot_path: str):
@@ -420,20 +474,37 @@ def _worker_slot(slot_path: str):
     return m
 
 
-def _slot_views(buf, layout, n_bases: int, m_samples: int):
-    csig = np.frombuffer(buf, np.int16, m_samples, layout["csig"])
-    pos0 = np.frombuffer(buf, np.int32, n_bases, layout["pos0"])
-    feats = np.frombuffer(
-        buf, np.float16, n_bases * 6, layout["feats"]
-    ).reshape(n_bases, 6)
-    vlen = np.frombuffer(buf, np.uint8, n_bases, layout["vlen"])
-    return csig, pos0, feats, vlen
+def _slot_views(buf, layout, n_bases: int, m_samples: int, counts=None):
+    """Numpy views of one slot's wire arrays. ``counts``: (ne, nd, nv, nc)
+    escape-entry counts (full capacity when None, for the writer side)."""
+    ne, nd, nv, nc = counts or (
+        layout["esc_cap"], layout["dur_cap"], layout["vl_cap"],
+        layout["col_cap"])
+    return {
+        "sig8": np.frombuffer(buf, np.uint8, m_samples, layout["sig8"]),
+        "posd": np.frombuffer(buf, np.uint8, n_bases, layout["posd"]),
+        "evf": np.frombuffer(
+            buf, np.float16, n_bases * 4, layout["evf"]).reshape(n_bases, 4),
+        "codes": np.frombuffer(buf, np.uint8, n_bases, layout["codes"]),
+        "sig_esc_idx": np.frombuffer(buf, np.int32, ne, layout["sig_esc_idx"]),
+        "sig_esc_delta": np.frombuffer(
+            buf, np.int16, ne, layout["sig_esc_delta"]),
+        "dur_esc_idx": np.frombuffer(buf, np.int32, nd, layout["dur_esc_idx"]),
+        "dur_esc_f32": np.frombuffer(
+            buf, np.float32, nd, layout["dur_esc_f32"]),
+        "vlen_esc_idx": np.frombuffer(
+            buf, np.int32, nv, layout["vlen_esc_idx"]),
+        "vlen_esc_val": np.frombuffer(
+            buf, np.int32, nv, layout["vlen_esc_val"]),
+        "col_esc_idx": np.frombuffer(buf, np.int32, nc, layout["col_esc_idx"]),
+    }
 
 
 def _pool_prep_chunk(paths: list, slot_paths: list, cap_bases: int,
                      cap_samples: int):
-    """Decode + compact a CHUNK of fast5s (one IPC round trip amortizes the
-    Pool's per-task pickle/dispatch overhead over several reads)."""
+    """Decode + compact + wire-encode a CHUNK of fast5s (one IPC round trip
+    amortizes the Pool's per-task pickle/dispatch overhead over several
+    reads)."""
     return [
         _pool_prep_to_slot(p, s, cap_bases, cap_samples)
         for p, s in zip(paths, slot_paths)
@@ -442,30 +513,44 @@ def _pool_prep_chunk(paths: list, slot_paths: list, cap_bases: int,
 
 def _pool_prep_to_slot(path: str, slot_path: str | None, cap_bases: int,
                        cap_samples: int):
-    """Decode + compact one fast5, writing the big arrays into a
-    shared-memory slot. Returns ((n_bases, m_samples, shift, scale, bases),
-    None) on the slot path, (CompactRead, None) when no slot is available or
-    the read exceeds the slot capacity (pickle-transport fallback), or
-    (None, error_str)."""
+    """Decode + compact + wire-encode one fast5, writing the arrays into a
+    shared-memory slot. Returns ((n, m, shift, scale, bases, first_val,
+    last_val, pos0_first, pos0_last, ne, nd, nv, nc), None) on the slot path,
+    (WireRead, None) when no slot is available or the read exceeds a slot
+    capacity (pickle-transport fallback), or (None, error_str)."""
+    from ..infer.wire import encode_read
+
     try:
-        if slot_path is None:
-            return compact_fast5(path, _WORKER_GROUP, _WORKER_SUBGROUP), None
+        c = _compact_bounded(path, cap_bases, cap_samples)
+        n, m = c.n_bases, c.n_samples
+        if slot_path is None or n > cap_bases or m > cap_samples:
+            return encode_read(c), None    # pickle-transport fallback
         layout = slot_layout(cap_bases, cap_samples)
         buf = _worker_slot(slot_path)
-        csig_v, pos0_v, feats_v, vlen_v = _slot_views(
-            buf, layout, cap_bases, cap_samples)
-        c = compact_fast5(path, _WORKER_GROUP, _WORKER_SUBGROUP,
-                          out=(csig_v, pos0_v, vlen_v, feats_v))
-        n, m = c.n_bases, c.n_samples
-        if n > cap_bases or m > cap_samples:
-            return c, None                 # pickle-transport fallback
-        if c.pos0.__array_interface__["data"][0] != (
-                pos0_v.__array_interface__["data"][0]):
-            # a fallback path ignored ``out`` — copy into the slot
-            csig_v[:m] = c.csig
-            pos0_v[:n] = c.pos0
-            feats_v[:n] = c.feats
-            vlen_v[:n] = c.vlen
-        return (n, m, c.shift, c.scale, c.bases), None
+        v = _slot_views(buf, layout, n, m)
+        try:
+            from ..native import available, encode_wire_native
+
+            if not available():
+                raise RuntimeError("native unavailable")
+            ne, nd, nv, nc = encode_wire_native(c, v)
+        except Exception:  # noqa: BLE001 — numpy encoder is always correct
+            w = encode_read(
+                c, out=(v["sig8"], v["posd"], v["evf"], v["codes"]))
+            ne, nd = len(w.sig_esc_idx), len(w.dur_esc_idx)
+            nv, nc = len(w.vlen_esc_idx), len(w.col_esc_idx)
+            if (ne > layout["esc_cap"] or nd > layout["dur_cap"]
+                    or nv > layout["vl_cap"] or nc > layout["col_cap"]):
+                return w, None             # pickle-transport fallback
+            v["sig_esc_idx"][:ne] = w.sig_esc_idx
+            v["sig_esc_delta"][:ne] = w.sig_esc_delta
+            v["dur_esc_idx"][:nd] = w.dur_esc_idx
+            v["dur_esc_f32"][:nd] = w.dur_esc_f32
+            v["vlen_esc_idx"][:nv] = w.vlen_esc_idx
+            v["vlen_esc_val"][:nv] = w.vlen_esc_val
+            v["col_esc_idx"][:nc] = w.col_esc_idx
+        return (n, m, c.shift, c.scale, c.bases, int(c.csig[0]),
+                int(c.csig[m - 1]), int(c.pos0[0]), int(c.pos0[n - 1]),
+                ne, nd, nv, nc), None
     except Exception as exc:  # noqa: BLE001 — per-read degradation
         return None, str(exc)

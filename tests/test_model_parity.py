@@ -22,6 +22,38 @@ def test_importer_all_shipped_files(ecoli_model_paths):
     assert p1["total_rnn2"]["fwd"]["wh"].shape == (64, 256)
 
 
+def test_importer_human_shipped_files():
+    """The reference DEFAULTS to the human pair (-S human,
+    NanoReviser.py:55,191-195); the shape-classifying importer must handle
+    all four shipped files, and both species encode the window-11 quirk
+    (SURVEY §5 item 5) despite the win13 filenames."""
+    import os
+
+    import pytest as _pytest
+
+    base = "/root/reference/model/human"
+    m1 = os.path.join(base, "human_win13_50ep_model1.h5")
+    m2 = os.path.join(base, "human_win13_50ep_model2.h5")
+    if not os.path.exists(m1):
+        _pytest.skip("human weights not available")
+    p1, w1, c1 = load_keras_weights(m1)
+    p2, w2, c2 = load_keras_weights(m2)
+    assert (w1, c1) == (11, 6)
+    assert (w2, c2) == (11, 5)
+    # weights genuinely differ from the ecoli pair (not copies)
+    ep1, _, _ = load_keras_weights(
+        "/root/reference/model/ecoli/ecoli_win13_50ep_model1.h5")
+    assert not np.array_equal(p1["conv1"]["w"], ep1["conv1"]["w"])
+    # and are loadable into the forward pass
+    cfg = ReviserConfig(window=w1, n_classes=c1)
+    rng = np.random.default_rng(0)
+    sig = rng.normal(0, 1, (8, w1, 50, 1)).astype(np.float32)
+    feats = rng.normal(0.5, 0.5, (8, w1, 6)).astype(np.float32)
+    probs, _ = reviser_apply(p1, sig, feats, cfg=cfg)
+    assert probs.shape == (8, c1)
+    assert np.all(np.isfinite(np.asarray(probs)))
+
+
 @pytest.mark.slow
 def test_forward_matches_keras_oracle(ecoli_model_paths):
     tf = pytest.importorskip("tensorflow")  # noqa: F841

@@ -144,3 +144,49 @@ def test_truncated_signal_clamps_like_cpp(unitest_fast5_files):
     np.testing.assert_array_equal(
         feats.view(np.uint16), p.feats.view(np.uint16)
     )
+
+
+def test_native_encode_wire_matches_numpy(unitest_fast5_files):
+    """C++ nr_encode_wire vs infer.wire.encode_read on real reads: identical
+    streams, escape lists (indices, values, order) and derived arrays."""
+    from nanoreviser_tpu.infer.wire import encode_read
+    from nanoreviser_tpu.io import get_read_data
+    from nanoreviser_tpu.native import encode_wire_native
+    from nanoreviser_tpu.signal.host_prep import compact_read_numpy
+
+    for p in unitest_fast5_files[:3]:
+        c = compact_read_numpy(get_read_data(str(p)))
+        ref = encode_read(c)
+        n, m = c.n_bases, c.n_samples
+        out = {
+            "sig8": np.zeros(m, np.uint8),
+            "posd": np.zeros(n, np.uint8),
+            "evf": np.zeros((n, 4), np.float16),
+            "codes": np.zeros(n, np.uint8),
+            "sig_esc_idx": np.zeros(m // 16 + 8, np.int32),
+            "sig_esc_delta": np.zeros(m // 16 + 8, np.int16),
+            "dur_esc_idx": np.zeros(n // 4 + 8, np.int32),
+            "dur_esc_f32": np.zeros(n // 4 + 8, np.float32),
+            "vlen_esc_idx": np.zeros(4096, np.int32),
+            "vlen_esc_val": np.zeros(4096, np.int32),
+            "col_esc_idx": np.zeros(4096, np.int32),
+        }
+        ne, nd, nv, nc = encode_wire_native(c, out)
+        assert (ne, nd, nv, nc) == (
+            len(ref.sig_esc_idx), len(ref.dur_esc_idx),
+            len(ref.vlen_esc_idx), len(ref.col_esc_idx))
+        np.testing.assert_array_equal(out["sig8"], ref.sig8)
+        np.testing.assert_array_equal(out["posd"], ref.posd)
+        np.testing.assert_array_equal(
+            out["evf"].view(np.uint16), ref.evf.view(np.uint16))
+        np.testing.assert_array_equal(out["codes"], ref.codes)
+        np.testing.assert_array_equal(out["sig_esc_idx"][:ne], ref.sig_esc_idx)
+        np.testing.assert_array_equal(
+            out["sig_esc_delta"][:ne], ref.sig_esc_delta)
+        np.testing.assert_array_equal(out["dur_esc_idx"][:nd], ref.dur_esc_idx)
+        np.testing.assert_array_equal(out["dur_esc_f32"][:nd], ref.dur_esc_f32)
+        np.testing.assert_array_equal(
+            out["vlen_esc_idx"][:nv], ref.vlen_esc_idx)
+        np.testing.assert_array_equal(
+            out["vlen_esc_val"][:nv], ref.vlen_esc_val)
+        np.testing.assert_array_equal(out["col_esc_idx"][:nc], ref.col_esc_idx)

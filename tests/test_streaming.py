@@ -243,3 +243,29 @@ def test_short_reads_deferred_until_calibration(
     assert len(outs) == 2 and all(seq for _, _, seq, _ in outs)
     assert eng3._center_offset is not None
     assert any("calibration" in r.message for r in caplog.records)
+
+
+def test_stall_heavy_read_admissible_in_small_tiers(
+    ecoli_model_paths, unitest_fast5_files
+):
+    """Regression: unitest read ch13_read2251 (15.8 samples/base, 4.8%
+    duration-escape rate) must fit the batch budgets of even a small-tier
+    engine — its degradation in the CPU-default engine was a live bug."""
+    import jax
+
+    from nanoreviser_tpu.infer import StreamingReviser
+    from nanoreviser_tpu.infer.wire import encode_read
+    from nanoreviser_tpu.signal.host_prep import compact_read_numpy
+
+    target = [p for p in unitest_fast5_files if "ch13_read2251" in p.name]
+    assert target, "expected unitest read missing"
+    rd = get_read_data(str(target[0]))
+    w = encode_read(compact_read_numpy(rd))
+    assert len(w.dur_esc_idx) > 0.03 * rd.n_bases  # still the skewed fixture
+    m1, m2 = map(str, ecoli_model_paths)
+    eng = StreamingReviser(
+        m1, m2, batch_windows=16384, r_max=8, devices=jax.devices()[:1]
+    )
+    batch = eng._new_batch()
+    assert eng._add_read(batch, "r", rd, w), (
+        "stall-heavy read rejected by batch escape budgets")

@@ -182,3 +182,38 @@ def test_label_recovery_on_real_read(unitest_fast5_files):
     n = min(len(t), len(sw_y))
     agree = (t[:n] == sw_y[:n]).mean()
     assert agree > 0.93, agree
+
+
+@pytest.mark.slow
+def test_kmer_index_human_scale_stride_sampling():
+    """A >= 50 Mbp genome auto-selects stride=4 position sampling (the
+    ~6 GB-human-index claim, align/sw.py KmerIndex docstring); seeding must
+    still recover the correct locus from sparse diagonal votes, and the
+    full alignment must label the read at that locus (round-4 verdict weak
+    item 8)."""
+    rng = np.random.default_rng(7)
+    n = 60_000_000
+    genome_arr = rng.integers(0, 4, n, dtype=np.int8)
+    base_lut = np.frombuffer(b"ACGT", np.uint8)
+    genome = {"chr1": base_lut[genome_arr].tobytes().decode("ascii")}
+    del genome_arr
+    idx = KmerIndex(genome)
+    assert idx.stride == 4
+
+    locus = 37_123_456
+    read = list(genome["chr1"][locus : locus + 1200])
+    # 3% substitutions so the read is not an exact slice
+    for p in rng.choice(len(read), size=36, replace=False):
+        read[p] = "ACGT"[rng.integers(4)]
+    read = "".join(read)
+
+    from nanoreviser_tpu.align.sw import encode_seq
+
+    hit = idx.seed(encode_seq(read))
+    assert hit is not None and hit.chrom == "chr1" and hit.strand == "+"
+    assert hit.t_start <= locus <= hit.t_start + 1000, (hit, locus)
+
+    res = align_read_to_genome(read, idx, genome)
+    assert res is not None
+    m_cols = sum(1 for c in res.map_vals if c == "M")
+    assert m_cols > 0.9 * len(read)
