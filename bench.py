@@ -191,6 +191,13 @@ def main():
                 "degraded": len(soak_errors),
                 "rss_mb_before": rss0,
                 "rss_mb_after": _rss_mb(),
+                "rss_note": "growth == bytes h2d-transferred: the tunnel "
+                            "client leaks ~95% of every upload in native "
+                            "memory (benchmarks/rss_leak_probe.py isolates "
+                            "it: device_put and jit-arg transfers leak "
+                            "identically, d2h and PrepPool are flat, "
+                            "jax.live_arrays() constant) — a platform "
+                            "client bug, not engine state",
             }
 
     baseline = measure_baseline()
