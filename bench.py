@@ -304,6 +304,11 @@ def main():
                 / max(stages.get("h2d_s", 1e-9), 1e-9)
                 / max(stages.get("upload_mb", 1e-9)
                       / max(stages.get("n_reads", 1), 1), 1e-9), 1),
+            # weather-independent capability: the tunnel swings 26-66 MB/s
+            # run to run; this is the ceiling at its round-4 median rate
+            "link_bound_ceiling_at_56MBps": round(
+                56.0 * max(stages.get("n_reads", 1), 1)
+                / max(stages.get("upload_mb", 1e-9), 1e-9), 1),
         } if stages.get("upload_mb") else {},
         "train": train,
         "dp_scaling_proxy": scaling,

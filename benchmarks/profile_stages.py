@@ -88,21 +88,24 @@ def profile(out=None, quiet=False):
             assert engine._add_read(b, name, rd, c)
     if b.meta:
         batches.append(b)
-    tier = engine._pick_tier(batches)
-    packed = [engine._finalize(bt, tier) for bt in batches]
+    # per-batch tier selection, exactly like the engine's submit path (one
+    # shared tier would bill the small tail batch at full-tier bytes)
+    tiers = [engine._pick_tier([bt]) for bt in batches]
+    packed = [engine._finalize(bt, t) for bt, t in zip(batches, tiers)]
+    tier = tiers[0]
     out["assemble_s"] = time.time() - t0
     upload_mb = sum(a.nbytes for p in packed for a in p.values()) / 1e6
     out["upload_mb"] = round(upload_mb, 1)
     say(f"assemble: {out['assemble_s']:.3f}s ({len(batches)} batches, "
         f"{upload_mb:.1f} MB upload)")
 
-    fn_dev = engine._get_fn(tier)
+    fns_dev = [engine._get_fn(t) for t in tiers]
     bufs = [{k: v[None] for k, v in p.items()} for p in packed]
 
     # h2d (forced): put + run + fetch one byte, minus the resident run cost
     def put_run_fetch():
         db = [jax.device_put(bf, engine._buf_sharding) for bf in bufs]
-        outs = [fn_dev(engine._ws, d) for d in db]
+        outs = [f(engine._ws, d) for f, d in zip(fns_dev, db)]
         _ = [np.asarray(jax.tree_util.tree_leaves(o)[0][:1, :1]) for o in outs]
         return db
     db = put_run_fetch()
@@ -114,7 +117,7 @@ def profile(out=None, quiet=False):
     def run_k(k):
         t0 = time.time()
         for _ in range(k):
-            outs = [fn_dev(engine._ws, d) for d in db]
+            outs = [f(engine._ws, d) for f, d in zip(fns_dev, db)]
         _ = [np.asarray(jax.tree_util.tree_leaves(o)[0][:1, :1]) for o in outs]
         return time.time() - t0
     run_k(1)
@@ -128,8 +131,8 @@ def profile(out=None, quiet=False):
         f"({out['device_s']/len(batches)*1e3:.1f} ms/batch)")
 
     t = engine.window
-    host_outs = [np.asarray(jax.tree_util.tree_leaves(fn_dev(engine._ws, d))[0])
-                 for d in db]
+    host_outs = [np.asarray(jax.tree_util.tree_leaves(f(engine._ws, d))[0])
+                 for f, d in zip(fns_dev, db)]
     from nanoreviser_tpu.infer.merge import calibrate_center_offset
 
     off = None

@@ -92,7 +92,11 @@ DEFAULT_BATCH_WINDOWS = 196608      # windows per device batch (~20 reads).
                                     # beating 393216 by ~19% e2e (127 vs
                                     # 107 reads/s over the 100-read set)
 DEFAULT_R_MAX = 144                 # max reads per batch
-SAMPLES_PER_ROW = 12                # signal budget per base row (avg ~9.9)
+SAMPLES_PER_ROW = 11                # signal budget per base row (avg ~9.9;
+                                    # batches fill their row budget first, so
+                                    # the tighter cap only rarely forces an
+                                    # early flush, and it cuts 1 B/row off
+                                    # the link-bound upload)
 SIG_HEAD = 64                       # slack before the first read's signal
 VE_CAP = 4096                       # vlen-escape rows per batch (~5/read)
 CE_CAP = 1024                       # non-ACGT color-escape rows per batch
