@@ -154,15 +154,19 @@ def main():
         # the persistent compilation cache.
         human_reads_per_s = 0.0
         human_errors: list = []
-        if os.path.exists(HUMAN1):
-            h_eng = StreamingReviser(HUMAN1, HUMAN2)
-            _stream(h_eng, sus_dir, sustained_fns, out_dir, human_errors, pool)
-            t0 = time.time()
-            n = _stream(h_eng, sus_dir, sustained_fns, out_dir, human_errors,
+        if os.path.exists(HUMAN1) and os.path.exists(HUMAN2):
+            try:
+                h_eng = StreamingReviser(HUMAN1, HUMAN2)
+                _stream(h_eng, sus_dir, sustained_fns, out_dir, human_errors,
                         pool)
-            if n == len(sustained_fns) and not human_errors:
-                human_reads_per_s = len(sustained_fns) / (time.time() - t0)
-            del h_eng
+                t0 = time.time()
+                n = _stream(h_eng, sus_dir, sustained_fns, out_dir,
+                            human_errors, pool)
+                if n == len(sustained_fns) and not human_errors:
+                    human_reads_per_s = len(sustained_fns) / (time.time() - t0)
+                del h_eng
+            except Exception:  # noqa: BLE001 — optional extra must not
+                pass           # abort the headline numbers
 
         # 10k-read soak (BASELINE.md config list): the 100-read set tiled
         # x100 via symlinks — sustained rate + RSS stability prove the slot
@@ -173,8 +177,11 @@ def main():
             os.makedirs(soak_dir, exist_ok=True)
             soak_fns = []
             for rep in range(100):
-                for fn in sustained_fns[:100]:
-                    link = f"r{rep:03d}_{fn}"
+                # the per-rep index j keeps link names unique even when
+                # sustained_fns itself repeats names (the no-training-data
+                # fallback tiles the 5 unitest reads)
+                for j, fn in enumerate(sustained_fns[:100]):
+                    link = f"r{rep:03d}_{j:03d}_{fn}"
                     os.symlink(os.path.join(sus_dir, fn),
                                os.path.join(soak_dir, link))
                     soak_fns.append(link)

@@ -88,11 +88,11 @@ def profile(out=None, quiet=False):
             assert engine._add_read(b, name, rd, c)
     if b.meta:
         batches.append(b)
-    # per-batch tier selection, exactly like the engine's submit path (one
-    # shared tier would bill the small tail batch at full-tier bytes)
+    # per-batch tier selection, as the engine's submit path does for
+    # 1-device groups (one shared tier would bill the small tail batch at
+    # full-tier bytes; n_dev > 1 groups do share a tier)
     tiers = [engine._pick_tier([bt]) for bt in batches]
     packed = [engine._finalize(bt, t) for bt, t in zip(batches, tiers)]
-    tier = tiers[0]
     out["assemble_s"] = time.time() - t0
     upload_mb = sum(a.nbytes for p in packed for a in p.values()) / 1e6
     out["upload_mb"] = round(upload_mb, 1)

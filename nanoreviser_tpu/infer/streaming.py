@@ -77,7 +77,7 @@ from .merge import (
 )
 from .wire import (
     DROP,
-    MAX_ROW_DELTA,
+    MAX_BOUNDARY_DELTA,
     WireRead,
     decode_wire,
     encode_read,
@@ -205,10 +205,6 @@ class StreamingReviser:
                 f"bits of the block meta)")
         self.w_max = batch_windows
         self.r_max = r_max
-        # reads merged before the center offset is calibrated would silently
-        # ride the default (off by one for the reference's shipped weights) —
-        # they are deferred here until calibration (round-4 advisor finding)
-        self._precal: list = []
         self._use_pallas = use_pallas
 
         # size tiers: 1/8, 1/4, 1/2, full. Small directories and tail
@@ -391,7 +387,7 @@ class StreamingReviser:
         return _Batch(arrays={
             "sig8": np.zeros(top.s_cap, np.uint8),
             "sig_esc_idx": np.full(top.e_cap, DROP, np.int32),
-            "sig_esc_delta": np.zeros(top.e_cap, np.int16),
+            "sig_esc_delta": np.zeros(top.e_cap, np.int32),
             "posd": np.zeros(top.n_rows_g, np.uint8),
             "vlen_esc_idx": np.full(VE_CAP, DROP, np.int32),
             "vlen_esc_val": np.zeros(VE_CAP, np.int32),
@@ -427,13 +423,16 @@ class StreamingReviser:
         r0 = batch.rows
         g = batch.sig_used
         # the first row's pos0 delta chains from the previous read's last row
-        # (or from 0 at the head); <= SIG_HEAD resp. <= 75 by construction
-        # (see infer.wire's span proof) — a violation degrades just this read
+        # (or from 0 at the head). The block-span proof REQUIRES it stay
+        # <= MAX_BOUNDARY_DELTA (infer.wire docstring) — true for all
+        # compactor output; a caller-synthesized CompactRead with trailing
+        # signal can violate it and degrades (just this read, loudly)
         row_delta = (g + w.pos0_first) - (batch.last_pos if r0 else 0)
-        if not 0 <= row_delta <= MAX_ROW_DELTA:
+        if not 0 <= row_delta <= MAX_BOUNDARY_DELTA:
             raise ValueError(
                 f"read-boundary pos0 delta {row_delta} outside "
-                f"[0, {MAX_ROW_DELTA}] (pathological segmentation)")
+                f"[0, {MAX_BOUNDARY_DELTA}] — block span budget unprovable "
+                f"(trailing signal beyond the last window?)")
         # forward placement: sample p of the batch lives at sig8[p]
         vw["sig8"][g : g + m] = w.sig8
         e0 = batch.nse
@@ -580,13 +579,14 @@ class StreamingReviser:
         )
         return name, read, seq, None
 
-    def _flush_precal(self):
+    def _flush_precal(self, precal: list):
         """Merge + yield reads deferred while the center offset was unknown."""
-        stash, self._precal = self._precal, []
+        stash, precal[:] = list(precal), []
         for item in stash:
             yield self._merge_one(*item)
 
-    def _finish(self, pending: _Pending, emit: str = "seq"):
+    def _finish(self, pending: _Pending, emit: str = "seq",
+                precal: list | None = None):
         host = pending.future.result()
         packed_all = host[0]                           # [D, W]
         q_all = host[1] if len(host) > 1 else None     # [D, 2, W]
@@ -610,14 +610,19 @@ class StreamingReviser:
                 q1 = q[0, r0 : r0 + wr] if q is not None else None
                 q2 = q[1, r0 : r0 + wr] if q is not None else None
                 if self._center_offset is None:
+                    if precal is None:
+                        precal = []
                     if wr >= 64:
                         self._calibrate(read.bases, y1)
-                        yield from self._flush_precal()
+                        yield from self._flush_precal(precal)
                     else:
                         # too short to calibrate confidently — defer the
                         # merge until an offset is established (or the
-                        # stream ends: revise_stream force-calibrates)
-                        self._precal.append((name, read, y1, y2, q1, q2))
+                        # stream ends: revise_stream force-calibrates).
+                        # The stash is STREAM-local (passed in by
+                        # revise_stream): an abandoned generator must not
+                        # leak deferred reads into a later stream's output
+                        precal.append((name, read, y1, y2, q1, q2))
                         continue
                 yield self._merge_one(name, read, y1, y2, q1, q2)
 
@@ -647,6 +652,7 @@ class StreamingReviser:
         pending: collections.deque[_Pending] = collections.deque()
         ready: list[_Batch] = []
         batch = self._new_batch()
+        precal: list = []          # stream-local pre-calibration stash
 
         def submit_ready(force: bool):
             if not ready or (len(ready) < self.n_dev and not force):
@@ -683,7 +689,7 @@ class StreamingReviser:
                         yield (name, read) + fallback(read)
                 return
             try:
-                yield from self._finish(p, emit)
+                yield from self._finish(p, emit, precal)
             except Exception as exc:  # noqa: BLE001
                 for meta in p.meta:
                     for name, read, _ in meta:
@@ -737,14 +743,14 @@ class StreamingReviser:
         flush(force=True)
         while pending:
             yield from drain(pending.popleft())
-        if self._precal:
+        if precal:
             # every read in the stream was too short for confident
             # calibration — calibrate from the longest one with the sample
             # floor lowered, loudly (round-4 advisor finding: ending the
             # stream uncalibrated must not silently use the default offset)
             import logging
 
-            longest = max(self._precal, key=lambda it: len(it[2]))
+            longest = max(precal, key=lambda it: len(it[2]))
             off, agree = calibrate_center_offset(
                 longest[1].bases, longest[2], self.window, min_n=8)
             self._center_offset = off
@@ -754,7 +760,7 @@ class StreamingReviser:
                 "read: offset %d (agreement %.3f)",
                 len(longest[2]), off, agree,
             )
-            yield from self._flush_precal()
+            yield from self._flush_precal(precal)
 
     def revise_read(self, read: ReadData) -> str:
         for _, _, seq, _ in self.revise_stream([("", read)]):

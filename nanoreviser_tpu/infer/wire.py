@@ -28,9 +28,12 @@ Pallas window-gather kernel:
 
 Span safety is proven, not checked, on device: worker-side validation
 rejects any read whose in-read pos0 deltas leave [0, 50] (per-read
-degradation — round-4 advisor finding), boundary deltas are <= 75
-(vlen + left pad + head slack bounds), so a 128-row block spans at most
-127 * (75+50)/2 < 8000 < CHUNK - QP - 1 samples.
+degradation — round-4 advisor finding), and batch assembly rejects any
+read whose boundary delta would exceed 75 (true for all compactor output:
+vlen 50 + left pad 25; only caller-synthesized CompactReads with trailing
+signal can violate it). Positions are then globally non-decreasing with
+at most every other row a boundary, so a 128-row block spans at most
+64*75 + 63*50 = 7950 < CHUNK - QP - 1 = 8127 samples.
 
 Reference behavior reproduced: the upload replaces the per-read copy of
 NanoReviser.py:111-113; feature semantics are preprocessing.py:85-170 /
@@ -58,7 +61,12 @@ from ..signal.host_prep import CompactRead
 ESC = 255                    # u8 escape marker (signal stream)
 DROP = np.int32(2**30)       # scatter sentinel: always out of range -> dropped
 MAX_IN_READ_POS_DELTA = 50   # guaranteed by compaction; validated per read
-MAX_ROW_DELTA = 254          # u8-encodable pos0 row delta (boundary rows)
+MAX_BOUNDARY_DELTA = 75      # read-boundary pos0 delta bound REQUIRED by the
+                             # span proof below (vlen 50 + left pad 25 for
+                             # compactor output; SIG_HEAD 64 for the first
+                             # row); _add_read degrades any read whose
+                             # placement would exceed it
+MAX_ROW_DELTA = 254          # u8-encodable pos0 row delta (hard wire limit)
 
 # exact f64 -> f16 single-rounding tables, shared by the host escape checker
 # and the device decode (so no on-device f32 rounding can diverge from the
@@ -89,7 +97,9 @@ class WireRead:
     sig8: np.ndarray           # [M] u8 zig-zag deltas; [0] is ESC (the first
                                #     sample's delta is chained at assembly)
     sig_esc_idx: np.ndarray    # [K] int32 local sample index (excludes 0)
-    sig_esc_delta: np.ndarray  # [K] int16 true delta
+    sig_esc_delta: np.ndarray  # [K] int32 true delta (int32 end to end: two
+                               #     int16 endpoints differ by up to 65534,
+                               #     and batch assembly chains across reads)
     posd: np.ndarray           # [N] u8 pos0 row deltas; [0] is a placeholder
     vlen_esc_idx: np.ndarray   # [Kv] int32 local row (vlen != 50)
     vlen_esc_val: np.ndarray   # [Kv] int32
@@ -144,10 +154,7 @@ def encode_read(c: CompactRead, out: tuple | None = None) -> WireRead:
     sig8[0] = ESC
     np.copyto(sig8[1:], np.where(esc, ESC, z).astype(np.uint8))
     sig_esc_idx = (np.flatnonzero(esc) + 1).astype(np.int32)
-    esc_d = d[sig_esc_idx - 1]
-    if esc_d.size and np.abs(esc_d).max() > 32767:
-        raise WireEncodeError("signal delta exceeds int16 escape range")
-    sig_esc_delta = esc_d.astype(np.int16)
+    sig_esc_delta = d[sig_esc_idx - 1].astype(np.int32)
 
     # --- pos0 row deltas ---------------------------------------------------
     pd = np.diff(pos0)
@@ -210,8 +217,7 @@ def decode_wire(v: dict, *, s_cap: int, n_rows: int, n_rows_g: int):
     z = v["sig8"].astype(jnp.int32)
     d = (z >> 1) ^ -(z & 1)
     d = jnp.where(z == ESC, 0, d)
-    d = d.at[v["sig_esc_idx"]].set(
-        v["sig_esc_delta"].astype(jnp.int32), mode="drop")
+    d = d.at[v["sig_esc_idx"]].set(v["sig_esc_delta"], mode="drop")
     fwd = jnp.cumsum(d).astype(jnp.int16)
     sigr = fwd[::-1]
 

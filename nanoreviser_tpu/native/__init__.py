@@ -28,7 +28,7 @@ _LIB = None
 _TRIED = False
 _HDF5_OK: bool | None = None
 
-ABI_VERSION = 5
+ABI_VERSION = 6
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 LIB_PATH = os.path.join(_PKG_DIR, "libnanorev.so")

@@ -398,7 +398,7 @@ int64_t nr_compact_read(
                       csig_out, csig_cap, pos0_out, vlen_out, feats_out);
 }
 
-int nr_abi_version() { return 5; }
+int nr_abi_version() { return 6; }
 
 }  // extern "C"
 
@@ -801,13 +801,13 @@ extern "C" {
 //   dur esc   : rows where DUR_TABLE[pos delta] != feats[:,3] plus the
 //               last row (whose device-derived delta is the next read's)
 // Returns 0, or: -2 escape capacity exceeded, -6 pos0 delta outside
-// [0, 50], -7 signal escape delta exceeds int16.
+// [0, 50].
 int64_t nr_encode_wire(
     const int16_t* csig, int64_t m,
     const int32_t* pos0, const uint8_t* vlen,
     const uint16_t* feats /* [n,6] f16 bits */, const uint8_t* bases,
     int64_t n,
-    uint8_t* sig8, int32_t* sig_esc_idx, int16_t* sig_esc_delta,
+    uint8_t* sig8, int32_t* sig_esc_idx, int32_t* sig_esc_delta,
     int64_t esc_cap,
     uint8_t* posd, uint16_t* evf /* [n,4] */, uint8_t* codes,
     int32_t* dur_esc_idx, float* dur_esc_f32, int64_t dur_cap,
@@ -833,11 +833,10 @@ int64_t nr_encode_wire(
     const int32_t d = int32_t(csig[i]) - int32_t(csig[i - 1]);
     const uint32_t z = uint32_t((d << 1) ^ (d >> 31));
     if (z >= 255u) {
-      if (d > 32767 || d < -32768) return -7;
       if (ne >= esc_cap) return -2;
       sig8[i] = 255;
       sig_esc_idx[ne] = int32_t(i);
-      sig_esc_delta[ne] = int16_t(d);
+      sig_esc_delta[ne] = d;
       ++ne;
     } else {
       sig8[i] = uint8_t(z);

@@ -405,14 +405,21 @@ def _compact_scratch(cap_bases: int, cap_samples: int) -> tuple:
 
 def _compact_bounded(path: str, cap_bases: int, cap_samples: int):
     """compact_fast5 into reused scratch; falls back to unbounded buffers
-    for reads beyond the scratch capacity (then pickle-transported)."""
+    ONLY for reads beyond the scratch capacity (then pickle-transported).
+    Genuine decode failures propagate — retrying a corrupt fast5 with
+    huge buffers would double every failure's latency for nothing."""
     scratch = _compact_scratch(cap_bases, cap_samples)
     try:
         return compact_fast5(
             path, _WORKER_GROUP, _WORKER_SUBGROUP,
             out=(scratch[0], scratch[1], scratch[2], scratch[3]))
-    except Exception:  # noqa: BLE001 — capacity / native failure
+    except (ValueError, IndexError):
+        # numpy path outgrew the provided views
         return compact_fast5(path, _WORKER_GROUP, _WORKER_SUBGROUP)
+    except RuntimeError as exc:
+        if "rc=-2" in str(exc):        # native capacity-exceeded code
+            return compact_fast5(path, _WORKER_GROUP, _WORKER_SUBGROUP)
+        raise
 
 
 def _pool_prep_one(path: str, cap_bases: int = 425984,
@@ -448,7 +455,7 @@ def slot_layout(cap_bases: int, cap_samples: int | None = None) -> dict:
         ("evf", 2 * 4 * cap_bases),
         ("codes", cap_bases),
         ("sig_esc_idx", 4 * esc_cap),
-        ("sig_esc_delta", 2 * esc_cap),
+        ("sig_esc_delta", 4 * esc_cap),
         ("dur_esc_idx", 4 * dur_cap),
         ("dur_esc_f32", 4 * dur_cap),
         ("vlen_esc_idx", 4 * vl_cap),
@@ -488,7 +495,7 @@ def _slot_views(buf, layout, n_bases: int, m_samples: int, counts=None):
         "codes": np.frombuffer(buf, np.uint8, n_bases, layout["codes"]),
         "sig_esc_idx": np.frombuffer(buf, np.int32, ne, layout["sig_esc_idx"]),
         "sig_esc_delta": np.frombuffer(
-            buf, np.int16, ne, layout["sig_esc_delta"]),
+            buf, np.int32, ne, layout["sig_esc_delta"]),
         "dur_esc_idx": np.frombuffer(buf, np.int32, nd, layout["dur_esc_idx"]),
         "dur_esc_f32": np.frombuffer(
             buf, np.float32, nd, layout["dur_esc_f32"]),

@@ -164,7 +164,7 @@ def test_native_encode_wire_matches_numpy(unitest_fast5_files):
             "evf": np.zeros((n, 4), np.float16),
             "codes": np.zeros(n, np.uint8),
             "sig_esc_idx": np.zeros(m // 16 + 8, np.int32),
-            "sig_esc_delta": np.zeros(m // 16 + 8, np.int16),
+            "sig_esc_delta": np.zeros(m // 16 + 8, np.int32),
             "dur_esc_idx": np.zeros(n // 4 + 8, np.int32),
             "dur_esc_f32": np.zeros(n // 4 + 8, np.float32),
             "vlen_esc_idx": np.zeros(4096, np.int32),

@@ -269,3 +269,114 @@ def test_stall_heavy_read_admissible_in_small_tiers(
     batch = eng._new_batch()
     assert eng._add_read(batch, "r", rd, w), (
         "stall-heavy read rejected by batch escape budgets")
+
+
+@pytest.mark.slow
+def test_escape_budget_flush_keeps_outputs_correct(ecoli_model_paths):
+    """Several escape-heavy reads exhaust a small tier's signal-escape
+    budget mid-batch; the engine must flush early and keep every read's
+    output identical to its solo run (no degradation, no cross-batch
+    corruption)."""
+    import jax
+
+    from nanoreviser_tpu.infer import StreamingReviser
+    from nanoreviser_tpu.infer.wire import encode_read
+    from nanoreviser_tpu.signal.host_prep import CompactRead
+
+    rng = np.random.default_rng(3)
+
+    def noisy_read(seed, n=220):
+        r = np.random.default_rng(seed)
+        # random-walk signal with frequent > 127 jumps -> dense sig escapes;
+        # signal ends exactly at the last window (boundary-delta proof)
+        m = (n - 1) * 9 + 50
+        sig = np.cumsum(r.integers(-300, 300, m)).clip(-30000, 30000)
+        pos0 = np.arange(n, dtype=np.int32) * 9
+        feats = np.zeros((n, 6), np.float16)
+        feats[:, 3] = np.float16(np.float64(9) * 0.1)
+        feats[n - 1, 3] = np.float16(0.3)
+        bases = "".join(r.choice(list("ACGT"), n))
+        return CompactRead(
+            bases=bases, csig=sig.astype(np.int16), pos0=pos0,
+            vlen=np.full(n, 50, np.uint8), feats=feats,
+            shift=450.0, scale=30.0,
+        )
+
+    reads = [(f"s{k}", noisy_read(k)) for k in range(8)]
+    m1, m2 = map(str, ecoli_model_paths)
+    eng = StreamingReviser(
+        m1, m2, batch_windows=4096, r_max=16, devices=jax.devices()[:1]
+    )
+    per_read = len(encode_read(reads[0][1]).sig_esc_idx)
+    assert per_read * len(reads) > eng.top.e_cap, (
+        "fixture no longer exercises the escape budget")
+    errors: list = []
+    got = {n: s for n, _, s, _ in eng.revise_stream(iter(reads), errors=errors)}
+    assert not errors, errors[:2]
+    assert len(got) == len(reads)
+    for name, c in reads:
+        (_, _, solo, _), = list(eng.revise_stream(iter([(name, c)])))
+        assert got[name] == solo, name
+
+
+@pytest.mark.slow
+def test_extreme_chain_delta_between_reads(ecoli_model_paths):
+    """Two reads whose adjacent endpoints differ by ~40000 (legal int16 DAC
+    values) must batch identically to their solo runs — the inter-read
+    chain delta needs int32 end to end (code-review round-5 finding)."""
+    import jax
+
+    from nanoreviser_tpu.infer import StreamingReviser
+    from nanoreviser_tpu.signal.host_prep import CompactRead
+
+    def flat_read(level, n=120):
+        sig = np.full(n * 9 + 50, level, np.int16)
+        pos0 = np.arange(n, dtype=np.int32) * 9
+        feats = np.zeros((n, 6), np.float16)
+        feats[:, 3] = np.float16(np.float64(9) * 0.1)
+        feats[n - 1, 3] = np.float16(0.3)
+        return CompactRead(
+            bases="ACGT" * (n // 4), csig=sig, pos0=pos0,
+            vlen=np.full(n, 50, np.uint8), feats=feats,
+            shift=450.0, scale=30.0,
+        )
+
+    a, b = flat_read(-20000), flat_read(20000)
+    m1, m2 = map(str, ecoli_model_paths)
+    eng = StreamingReviser(
+        m1, m2, batch_windows=1024, r_max=8, devices=jax.devices()[:1]
+    )
+    errors: list = []
+    got = {n: s for n, _, s, _ in
+           eng.revise_stream([("a", a), ("b", b)], errors=errors)}
+    assert not errors, errors[:2]
+    for name, c in (("a", a), ("b", b)):
+        (_, _, solo, _), = list(eng.revise_stream(iter([(name, c)])))
+        assert got[name] == solo, name
+
+
+@pytest.mark.slow
+def test_abandoned_stream_does_not_leak_deferred_reads(
+    ecoli_model_paths, unitest_fast5_files, truncated_read
+):
+    """A consumer that abandons a revise_stream generator before its
+    end-of-stream flush must not leak deferred pre-calibration reads into a
+    later stream's output (code-review round-5 finding)."""
+    import itertools
+
+    import jax
+
+    from nanoreviser_tpu.infer import StreamingReviser
+
+    short = _truncate(get_read_data(str(unitest_fast5_files[1])), 40)
+    m1, m2 = map(str, ecoli_model_paths)
+    eng = StreamingReviser(
+        m1, m2, batch_windows=1024, r_max=8, devices=jax.devices()[:1]
+    )
+    # islice forces at least one drain without ever reaching the flush
+    gen = eng.revise_stream([("stale", short)] * 12)
+    abandoned = list(itertools.islice(gen, 1))
+    gen.close()
+    out = list(eng.revise_stream([("fresh", truncated_read)]))
+    assert [name for name, _, _, _ in out] == ["fresh"]
+    assert out[0][2] == eng.revise_read(truncated_read)
