@@ -185,9 +185,49 @@ def main():
     import jax  # noqa: F401 — default backend (the chip under the bench)
 
     sps, _ = _steps_per_s(None, None, n_steps=30)
+
+    # K-steps-per-dispatch (the production loop's default, train/step.py
+    # make_multi_step): amortizes the tunnel's 4-25 ms per-dispatch latency
+    import jax.numpy as jnp
+
+    from nanoreviser_tpu.models.reviser import (
+        ReviserConfig,
+        init_reviser_params,
+    )
+    from nanoreviser_tpu.train.step import keras_adam, make_multi_step
+
+    cfg = ReviserConfig(window=WINDOW, n_classes=N_CLASSES)
+    params = init_reviser_params(jax.random.PRNGKey(0), cfg)
+    params["centers"] = np.zeros((N_CLASSES, 16), np.float32)
+    optimizer = keras_adam()
+    opt_state = optimizer.init(params)
+    mstep, _ = make_multi_step(cfg, optimizer=optimizer)
+    feats, sig, y = _corpus()
+    rows = np.arange(BATCH)[:, None] + np.arange(WINDOW)[None, :]
+    K = 16
+    batch = {
+        "signal": jnp.stack([jnp.asarray(sig[rows])] * K),
+        "feats": jnp.stack([jnp.asarray(feats[rows])] * K),
+        "y": jnp.stack([jnp.asarray(y[:BATCH, 0])] * K),
+        "weight": jnp.ones((K, BATCH), jnp.float32),
+    }
+    params, opt_state, m = mstep(params, opt_state, batch,
+                                 jax.random.split(jax.random.PRNGKey(1), K))
+    jax.block_until_ready(m["loss"])
+    t0 = time.time()
+    R = 4
+    for k in range(R):
+        params, opt_state, m = mstep(
+            params, opt_state, batch,
+            jax.random.split(jax.random.PRNGKey(2 + k), K))
+    np.asarray(m["loss"])
+    msps = R * K / (time.time() - t0)
+
     print(json.dumps({
         "train_steps_per_s": round(sps, 3),
-        "train_windows_per_s": round(sps * BATCH, 1),
+        "train_steps_per_s_multistep": round(msps, 3),
+        "steps_per_dispatch": K,
+        "train_windows_per_s": round(msps * BATCH, 1),
         "batch_size": BATCH,
     }))
 

@@ -112,3 +112,53 @@ def make_sharded_train_step(cfg: ReviserConfig, mesh, **kwargs):
         donate_argnums=(0, 1),
     )
     return jitted, optimizer
+
+
+def _multi_from(train_step):
+    """K steps per dispatch via lax.scan over stacked batches.
+
+    The per-step host dispatch over the tunnel attachment costs 4-25 ms
+    (latency weather) against ~2-4 ms of on-chip compute, capping the naive
+    loop at 40-270 steps/s; scanning K steps inside one jit amortizes it
+    (measured 449 steps/s at K=16). batches: leading axis K on every leaf;
+    rngs: [K, 2] split dropout keys. Returns stacked per-step metrics.
+    """
+    def multi_step(params, opt_state, batches, rngs):
+        def body(carry, xs):
+            p, o = carry
+            b, r = xs
+            p, o, m = train_step(p, o, b, r)
+            return (p, o), (m["loss"], m["accuracy"])
+
+        (params, opt_state), (losses, accs) = jax.lax.scan(
+            body, (params, opt_state), (batches, rngs))
+        return params, opt_state, {"loss": losses, "accuracy": accs}
+
+    return multi_step
+
+
+def make_multi_step(cfg: ReviserConfig, **kwargs):
+    """Single-device K-steps-per-dispatch train step."""
+    train_step, optimizer = make_train_step(cfg, **kwargs)
+    jitted = jax.jit(_multi_from(train_step), donate_argnums=(0, 1))
+    return jitted, optimizer
+
+
+def make_sharded_multi_step(cfg: ReviserConfig, mesh, **kwargs):
+    """dp-sharded K-steps-per-dispatch train step: batches [K, B, ...] are
+    sharded on the BATCH axis (P(None, "dp")); params/opt replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    train_step, optimizer = make_train_step(cfg, **kwargs)
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(None, "dp"))
+    batch_shardings = {
+        "signal": shard, "feats": shard, "y": shard, "weight": shard,
+    }
+    jitted = jax.jit(
+        _multi_from(train_step),
+        in_shardings=(rep, rep, batch_shardings, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+    return jitted, optimizer
