@@ -2,12 +2,13 @@
 
 Why this exists: the host used to pre-gather 50-sample signal windows per
 base and upload them — 100 B/base of a 121 B/base payload, 5.9x duplicated
-raw signal — and the TPU attachment's h2d link (~60 MB/s measured) made that
-upload the pipeline's dominant cost. This kernel moves the gather onto the
-device so the upload carries the raw int16 signal (~20 B/base compacted)
-instead, and produces rows BIT-IDENTICAL to the old host-gather +
-signal.device_prep path (the committed unitest model-path goldens do not
-change).
+raw signal — and the TPU attachment's h2d link (~26-66 MB/s measured) made
+that upload the pipeline's dominant cost. This kernel moves the gather onto
+the device; since round 5 the signal arrives byte-packed (infer.wire,
+~11 B/base) and is reconstructed to the exact compacted int16 buffer by an
+XLA decode before this kernel runs, producing rows BIT-IDENTICAL to the
+old host-gather + signal.device_prep path (the committed unitest
+model-path goldens do not change).
 
 A gather of 393k unaligned 50-sample slices is the worst op to hand XLA on
 a tiled vector machine (measured: 216 ms via flat jnp.take, 471 ms via

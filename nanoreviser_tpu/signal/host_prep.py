@@ -1,14 +1,15 @@
 """Host-side per-read preparation for the compacted upload format.
 
-Production flow (ops/window_gather.py consumes this): each read's raw int16
-signal is COMPACTED to the union of its per-base window intervals (gaps
-larger than the 50-sample window — translocation stalls — are dropped),
-giving ~20 B/base of signal plus per-base gather starts, valid lengths and
-f16 features. Two properties matter:
+Production flow: each read's raw int16 signal is COMPACTED to the union of
+its per-base window intervals (gaps larger than the 50-sample window —
+translocation stalls — are dropped), giving ~10 samples/base plus per-base
+gather starts, valid lengths and f16 features; infer.wire then byte-packs
+the result (~22 B/base total) for the upload that ops/window_gather
+consumes after an XLA decode. Two properties matter:
 
 * the tunnel-attached chip's h2d link (~26-66 MB/s measured) is the
-  pipeline bottleneck, and compacted-signal upload is ~3x smaller than the
-  pre-gathered windows it replaced (100 B/base, 5.9x duplicated signal);
+  pipeline bottleneck — every stage of this file exists to shrink and
+  cheapen that upload;
 * after compaction consecutive window starts differ by <= 50 samples, so a
   128-row device block's signal span is hard-bounded — the invariant the
   on-device Pallas gather's chunk DMA depends on
