@@ -4,6 +4,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import numpy as np
+
 import pytest
 
 from nanoreviser_tpu.io import extract_fastq, get_read_data
@@ -72,3 +74,43 @@ def test_cli_passthrough_fastq(unitest_fast5_files, tmp_path: Path):
     content = (out_dir / (stem + "_out.fastq")).read_text()
     seq, qual = extract_fastq(str(fn))
     assert content == "@" + fn.name + "\n" + seq + "+\n" + qual
+
+
+@pytest.mark.slow
+def test_cli_model_path_fastq(unitest_fast5_files, tmp_path: Path):
+    """MODEL-path fastq through the CLI: revised sequence + real per-base
+    phred qualities (the engine-level quality emission is covered in
+    test_streaming; this pins the CLI wiring — emit_quality engine +
+    fastq writer format)."""
+    out_dir = tmp_path / "outmq"
+    src_dir = unitest_fast5_files[0].parent
+    res = _run_cli(
+        [
+            "-d", str(src_dir),
+            "-o", str(out_dir),
+            "-F", "fastq",
+            "--model_dir_root", "/root/reference/model/",
+            "-S", "ecoli",
+            "--revise_mode", "model",
+            "-e", str(tmp_path / "failed.txt"),
+        ],
+        cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    failed = (tmp_path / "failed.txt")
+    assert not failed.exists() or not failed.read_text().strip(), (
+        failed.read_text())
+    for fn in unitest_fast5_files:
+        stem = fn.name.split(".")[0]
+        content = (out_dir / (stem + "_out.fastq")).read_text()
+        # reference fastq quirks: @name\nseq (no newline before '+')
+        assert content.startswith("@" + fn.name + "\n")
+        body = content[len("@" + fn.name) + 1 :]
+        seq, _, qual = body.partition("+\n")
+        assert len(qual) == len(seq)
+        q = np.frombuffer(qual.encode(), np.uint8) - 33
+        assert (q >= 0).all() and (q <= 93).all()
+        assert np.median(q) > 10          # real confidences, not fill
+        rd = get_read_data(str(fn))
+        # revised, not passthrough-with-padding: same scale, few edits
+        assert abs(len(seq) - rd.n_bases) < 0.05 * rd.n_bases
