@@ -57,6 +57,31 @@ DEFAULT_SLOT_SAMPLES = 8 * 1024 * 1024   # bigger reads fall back to pickle
 _instance_counter = itertools.count()
 
 
+def _gc_stale_slots() -> None:
+    """Unlink /dev/shm slots left by processes that died before close()
+    (SIGKILL, OOM, test timeouts) — slot names embed the creating PID, so
+    any slot whose process is gone is garbage. Keeps long-lived hosts from
+    accumulating dead 14 MB files."""
+    import glob
+
+    for path in glob.glob("/dev/shm/nanorev_prep_*"):
+        try:
+            pid = int(os.path.basename(path).split("_")[2])
+        except (IndexError, ValueError):
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+        except PermissionError:
+            pass                       # someone else's live process
+
+
 class PrepPool:
     """Ordered, bounded fan-out of compact_fast5 over worker processes.
 
@@ -85,6 +110,7 @@ class PrepPool:
         self._slot_paths: list[str] = []
         self._slot_maps: list[np.ndarray] = []
         if n_workers > 0:
+            _gc_stale_slots()
             layout = slot_layout(slot_bases, slot_samples)
             token = next(_instance_counter)
             for i in range(n_slots):

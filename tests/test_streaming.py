@@ -380,3 +380,26 @@ def test_abandoned_stream_does_not_leak_deferred_reads(
     out = list(eng.revise_stream([("fresh", truncated_read)]))
     assert [name for name, _, _, _ in out] == ["fresh"]
     assert out[0][2] == eng.revise_read(truncated_read)
+
+
+def test_stale_shm_slot_gc(tmp_path):
+    """PrepPool startup reclaims slots left by dead processes (kill -9 /
+    OOM before close()); live processes' slots are untouched."""
+    import nanoreviser_tpu.infer.hostpipe as hp
+
+    dead = "/dev/shm/nanorev_prep_999999_0_0"
+    live = f"/dev/shm/nanorev_prep_{__import__('os').getpid()}_999_0"
+    open(dead, "wb").close()
+    open(live, "wb").close()
+    try:
+        hp._gc_stale_slots()
+        import os
+        assert not os.path.exists(dead)
+        assert os.path.exists(live)
+    finally:
+        import os
+        for p in (dead, live):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
