@@ -155,6 +155,7 @@ def main():
         human_reads_per_s = 0.0
         human_errors: list = []
         if os.path.exists(HUMAN1) and os.path.exists(HUMAN2):
+            h_eng = None
             try:
                 h_eng = StreamingReviser(HUMAN1, HUMAN2)
                 _stream(h_eng, sus_dir, sustained_fns, out_dir, human_errors,
@@ -164,9 +165,11 @@ def main():
                             human_errors, pool)
                 if n == len(sustained_fns) and not human_errors:
                     human_reads_per_s = len(sustained_fns) / (time.time() - t0)
-                del h_eng
             except Exception:  # noqa: BLE001 — optional extra must not
                 pass           # abort the headline numbers
+            finally:
+                del h_eng      # device buffers must not survive into the
+                               # soak's RSS/throughput measurements
 
         # 10k-read soak (BASELINE.md config list): the 100-read set tiled
         # x100 via symlinks — sustained rate + RSS stability prove the slot

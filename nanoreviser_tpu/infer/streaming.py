@@ -422,17 +422,18 @@ class StreamingReviser:
         vw = batch.arrays
         r0 = batch.rows
         g = batch.sig_used
-        # the first row's pos0 delta chains from the previous read's last row
-        # (or from 0 at the head). The block-span proof REQUIRES it stay
-        # <= MAX_BOUNDARY_DELTA (infer.wire docstring) — true for all
-        # compactor output; a caller-synthesized CompactRead with trailing
-        # signal can violate it and degrades (just this read, loudly)
+        # the first row's pos0 delta chains from the previous read's last
+        # row (or from 0 at the head). encode-time chain-bounds validation
+        # (infer.wire.validate_chain_bounds) guarantees every adjacency of
+        # VALID reads lands in [0, MAX_BOUNDARY_DELTA], so this is a
+        # should-never-fire backstop for the block-span proof — if it does
+        # fire, the current read degrades and the batch is untouched
         row_delta = (g + w.pos0_first) - (batch.last_pos if r0 else 0)
         if not 0 <= row_delta <= MAX_BOUNDARY_DELTA:
             raise ValueError(
                 f"read-boundary pos0 delta {row_delta} outside "
                 f"[0, {MAX_BOUNDARY_DELTA}] — block span budget unprovable "
-                f"(trailing signal beyond the last window?)")
+                f"(chain-bounds validation should have caught this)")
         # forward placement: sample p of the batch lives at sig8[p]
         vw["sig8"][g : g + m] = w.sig8
         e0 = batch.nse
@@ -610,12 +611,20 @@ class StreamingReviser:
                 q1 = q[0, r0 : r0 + wr] if q is not None else None
                 q2 = q[1, r0 : r0 + wr] if q is not None else None
                 if self._center_offset is None:
-                    if precal is None:
-                        precal = []
                     if wr >= 64:
                         self._calibrate(read.bases, y1)
-                        yield from self._flush_precal(precal)
+                        if precal is not None:
+                            yield from self._flush_precal(precal)
                     else:
+                        if precal is None:
+                            # a deferred read with nowhere to go would
+                            # silently vanish from the output — only
+                            # revise_stream (which owns a stream-local
+                            # stash) may take the deferral branch
+                            raise RuntimeError(
+                                "pre-calibration deferral requires a "
+                                "stream-local stash (call _finish with "
+                                "precal=[...])")
                         # too short to calibrate confidently — defer the
                         # merge until an offset is established (or the
                         # stream ends: revise_stream force-calibrates).
@@ -688,9 +697,14 @@ class StreamingReviser:
                     for name, read, _ in meta:
                         yield (name, read) + fallback(read)
                 return
+            n_stashed = len(precal)
             try:
                 yield from self._finish(p, emit, precal)
             except Exception as exc:  # noqa: BLE001
+                # reads this pending stashed before the failure get the
+                # fallback yield below — drop them from the stash or the
+                # end-of-stream flush would emit them a SECOND time
+                del precal[n_stashed:]
                 for meta in p.meta:
                     for name, read, _ in meta:
                         if errors is not None:

@@ -89,6 +89,26 @@ class WireEncodeError(ValueError):
     """Read violates a wire-format invariant (caller degrades the read)."""
 
 
+def validate_chain_bounds(pos0_first: int, pos0_last: int, m: int) -> None:
+    """Reject reads whose head/tail would impose an illegal boundary delta
+    on a batch neighbor. Any adjacency of two valid reads then lands in
+    [0, MAX_BOUNDARY_DELTA] BY CONSTRUCTION, so a bad read degrades ITSELF
+    at encode time instead of poisoning every read packed after it
+    (round-5 review finding). Compactor output always satisfies both:
+    pos0[0] = -left0 in [-25, 0]; m - pos0[-1] = vlen_last + left_last
+    = (vlen_last + 51) // 2 + ... in [26, 75]."""
+    if not -25 <= pos0_first <= 0:
+        raise WireEncodeError(
+            f"pos0[0] = {pos0_first} outside [-25, 0] "
+            f"(window head inconsistent with compaction)")
+    slack = m - pos0_last
+    if not 25 <= slack <= MAX_BOUNDARY_DELTA:
+        raise WireEncodeError(
+            f"trailing signal slack {slack} outside "
+            f"[25, {MAX_BOUNDARY_DELTA}] (signal does not end at the last "
+            f"window; block span budget unprovable for a successor read)")
+
+
 @dataclass
 class WireRead:
     """One read, encoded for the batch upload. Arrays may view shm slots."""
@@ -136,6 +156,7 @@ def encode_read(c: CompactRead, out: tuple | None = None) -> WireRead:
     pos0 = c.pos0.astype(np.int64)
     n = c.n_bases
     m = c.n_samples
+    validate_chain_bounds(int(pos0[0]), int(pos0[-1]), m)
     if out is not None:
         sig8 = out[0][:m]
         posd = out[1][:n]

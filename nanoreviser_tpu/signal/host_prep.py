@@ -533,6 +533,12 @@ def _pool_prep_to_slot(path: str, slot_path: str | None, cap_bases: int,
         n, m = c.n_bases, c.n_samples
         if slot_path is None or n > cap_bases or m > cap_samples:
             return encode_read(c), None    # pickle-transport fallback
+        # the native encoder skips the python-side chain-bounds check —
+        # enforce it here so a malformed read degrades itself (the numpy
+        # fallback re-checks inside encode_read)
+        from ..infer.wire import validate_chain_bounds
+
+        validate_chain_bounds(int(c.pos0[0]), int(c.pos0[n - 1]), m)
         layout = slot_layout(cap_bases, cap_samples)
         buf = _worker_slot(slot_path)
         v = _slot_views(buf, layout, n, m)

@@ -361,7 +361,11 @@ def test_abandoned_stream_does_not_leak_deferred_reads(
 ):
     """A consumer that abandons a revise_stream generator before its
     end-of-stream flush must not leak deferred pre-calibration reads into a
-    later stream's output (code-review round-5 finding)."""
+    later stream's output (code-review round-5 finding). r_max=1 +
+    max_in_flight=0 force a mid-stream drain that DEFERS the first short
+    read; the bad read then produces the stream's first yield while the
+    stash is non-empty, which is where we abandon."""
+    import dataclasses as dc
     import itertools
 
     import jax
@@ -369,14 +373,18 @@ def test_abandoned_stream_does_not_leak_deferred_reads(
     from nanoreviser_tpu.infer import StreamingReviser
 
     short = _truncate(get_read_data(str(unitest_fast5_files[1])), 40)
+    bad = dc.replace(short, starts=np.zeros(0, np.int64))
     m1, m2 = map(str, ecoli_model_paths)
     eng = StreamingReviser(
-        m1, m2, batch_windows=1024, r_max=8, devices=jax.devices()[:1]
+        m1, m2, batch_windows=1024, r_max=1, max_in_flight=0,
+        devices=jax.devices()[:1],
     )
-    # islice forces at least one drain without ever reaching the flush
-    gen = eng.revise_stream([("stale", short)] * 12)
+    gen = eng.revise_stream(
+        [("stale0", short), ("stale1", short), ("bad", bad)])
     abandoned = list(itertools.islice(gen, 1))
+    assert abandoned[0][0] == "bad"        # shorts are stashed, not yielded
     gen.close()
+    assert eng._center_offset is None      # stream never calibrated
     out = list(eng.revise_stream([("fresh", truncated_read)]))
     assert [name for name, _, _, _ in out] == ["fresh"]
     assert out[0][2] == eng.revise_read(truncated_read)
@@ -387,7 +395,14 @@ def test_stale_shm_slot_gc(tmp_path):
     OOM before close()); live processes' slots are untouched."""
     import nanoreviser_tpu.infer.hostpipe as hp
 
-    dead = "/dev/shm/nanorev_prep_999999_0_0"
+    import subprocess
+    import sys as _sys
+
+    # a PID guaranteed dead: spawn and reap a child (hardcoding a "large"
+    # PID flakes on hosts with pid_max above it)
+    child = subprocess.Popen([_sys.executable, "-c", "pass"])
+    child.wait()
+    dead = f"/dev/shm/nanorev_prep_{child.pid}_0_0"
     live = f"/dev/shm/nanorev_prep_{__import__('os').getpid()}_999_0"
     open(dead, "wb").close()
     open(live, "wb").close()
@@ -403,3 +418,30 @@ def test_stale_shm_slot_gc(tmp_path):
                 os.unlink(p)
             except OSError:
                 pass
+
+
+@pytest.mark.slow
+def test_bad_trailing_read_does_not_poison_stream(
+    small_streaming, truncated_read
+):
+    """A read with trailing signal past its last window degrades ITSELF at
+    encode time; reads packed after it revise normally (round-5 review: the
+    old boundary guard fired on the NEXT read and degraded the rest of the
+    stream)."""
+    from nanoreviser_tpu.signal.host_prep import CompactRead, compact_read
+
+    good = compact_read(truncated_read)
+    bad = CompactRead(
+        bases=good.bases,
+        csig=np.concatenate([good.csig, np.zeros(300, np.int16)]),
+        pos0=good.pos0, vlen=good.vlen, feats=good.feats,
+        shift=good.shift, scale=good.scale,
+    )
+    errors: list = []
+    out = {n: s for n, _, s, _ in small_streaming.revise_stream(
+        [("bad", bad), ("g1", good), ("g2", good)], errors=errors)}
+    assert [n for n, _ in errors] == ["bad"]
+    assert "slack" in str(errors[0][1])
+    assert out["bad"] == bad.bases                      # degraded
+    solo = small_streaming.revise_read(truncated_read)
+    assert out["g1"] == solo and out["g2"] == solo      # unpoisoned

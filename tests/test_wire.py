@@ -92,6 +92,13 @@ def test_roundtrip_chained_reads(unitest_fast5_files):
 
 def _synthetic_compact(csig, pos0, vlen=None, bases=None):
     n = len(pos0)
+    # normalize to the chain-bounds contract: the compacted signal ends
+    # exactly 50 samples after the last window start (validate_chain_bounds)
+    m = int(pos0[-1]) + 50
+    csig = np.asarray(csig, np.int16)
+    if len(csig) < m:
+        csig = np.concatenate([csig, np.zeros(m - len(csig), np.int16)])
+    csig = csig[:m]
     feats = np.zeros((n, 6), np.float16)
     feats[:, 3] = DUR_TABLE_F16[
         np.clip(np.concatenate([np.diff(pos0), [7]]), 0, 255)]
@@ -169,3 +176,22 @@ def test_tables_match_host_rounding():
         host = np.float16(
             BASE_COLOR_TABLE[_ascii_codes(b)][0] * (1.0 / 300.0))
         assert COLOR_TABLE_F16[k] == host
+
+
+def test_chain_bounds_reject_trailing_signal():
+    """A read whose signal extends past its last window would impose an
+    unbounded boundary delta on whatever read is packed after it — it must
+    degrade ITSELF at encode time (round-5 review: the old guard fired on
+    the NEXT read and poisoned the rest of the stream)."""
+    n = 40
+    pos0 = np.arange(n, dtype=np.int32) * 9
+    c = _synthetic_compact(np.zeros(10, np.int16), pos0)
+    # manufacture 300 samples of trailing signal past the last window
+    c = CompactRead(
+        bases=c.bases, csig=np.concatenate(
+            [c.csig, np.zeros(300, np.int16)]),
+        pos0=c.pos0, vlen=c.vlen, feats=c.feats,
+        shift=c.shift, scale=c.scale,
+    )
+    with pytest.raises(WireEncodeError, match="slack"):
+        encode_read(c)
