@@ -114,3 +114,53 @@ def test_cli_model_path_fastq(unitest_fast5_files, tmp_path: Path):
         rd = get_read_data(str(fn))
         # revised, not passthrough-with-padding: same scale, few edits
         assert abs(len(seq) - rd.n_bases) < 0.05 * rd.n_bases
+
+
+@pytest.mark.slow
+def test_cli_basecaller_mode_with_stub(unitest_fast5_files, tmp_path: Path):
+    """--revise_mode basecaller drives the external-binary hook through the
+    CLI (reference get_base_G path): staged tmp copy, option shape, 13/13
+    fastq trim, per-read fasta output."""
+    import stat
+
+    core = "ACGTACGTACGTACGTACGT"
+    pad13, pad12 = "N" * 13, "N" * 12
+    exe = tmp_path / "basecaller"
+    exe.write_text(f"""#!{sys.executable}
+import argparse, os
+p = argparse.ArgumentParser()
+p.add_argument("--input_path", required=True)
+p.add_argument("--save_path", required=True)
+p.add_argument("--config", required=True)
+a = p.parse_args()
+with open(os.path.join(a.save_path, "out.fastq"), "w") as fp:
+    fp.write("@stub\\n{pad13}{core}{pad12}\\n+\\n{pad13}{'!' * 20}{pad12}\\n")
+""")
+    exe.chmod(exe.stat().st_mode | stat.S_IXUSR)
+    cfg = tmp_path / "dna.cfg"
+    cfg.write_text("[basecaller]\n")
+    out_dir = tmp_path / "outbc"
+    src_dir = unitest_fast5_files[0].parent
+    res = _run_cli(
+        [
+            "-d", str(src_dir),
+            "-o", str(out_dir),
+            "-F", "fasta",
+            "--revise_mode", "basecaller",
+            "--basecaller_exe", str(exe),
+            "--basecaller_config", str(cfg),
+            "-t", str(tmp_path / "bctmp"),
+            "-e", str(tmp_path / "failed.txt"),
+        ],
+        cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    failed = tmp_path / "failed.txt"
+    assert not failed.exists() or not failed.read_text().strip()
+    for fn in unitest_fast5_files:
+        stem = fn.name.split(".")[0]
+        content = (out_dir / (stem + "_out.fasta")).read_text()
+        # 13/13 trim leaves the core + 1 pad char each side eaten by the
+        # reference's line-slice semantics (see tests/test_basecaller.py)
+        assert core in content
+        assert content.startswith(">" + fn.name.replace(" ", "|||") + "\n")
