@@ -14,7 +14,6 @@ batch statistics, so Adam leaves them untouched).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import jax
