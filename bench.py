@@ -106,10 +106,10 @@ def main():
         _stream(engine, UNITEST_DIR, uni_fns, out_dir, errors, pool)
         _stream(engine, sus_dir, sustained_fns, out_dir, errors, pool)
 
-        # timed: sustained throughput over the big read set (best of 2 —
+        # timed: sustained throughput over the big read set (best of 3 —
         # the tunnel's h2d rate swings 26-66 MB/s between runs)
         sustained_dt = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             n = _stream(engine, sus_dir, sustained_fns, out_dir, errors, pool)
             sustained_dt = min(sustained_dt, time.time() - t0)
